@@ -1,0 +1,159 @@
+"""AWGN channel simulation — the executable spec of the reference's
+``tests/awgn_sweep.py`` (SURVEY.md §3.5), re-designed as a batched JAX
+program: all packets of an SNR point are simulated in one tensor pass
+(packets x symbols x N) instead of the reference's per-symbol Python loop.
+
+Model contract (reference: tests/awgn_sweep.py:233-273):
+  chirp  = exp(j*cumsum(-pi + 2*pi*n/N)), down = conj(up)
+  tx     = up * exp(j*2*pi*sym*n/N) + AWGN(sigma = 10**(-snr/20))
+  rx_sym = argmax |FFT(rx * down)|
+FEC: CR 4/5 parity54 (detect-only) or 4/8 Hamming84 (single-error
+correction), LSB-first bit packing into sf-bit symbols
+(awgn_sweep.py:159-215).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import coding
+from ..ops.chirp import model_chirps
+from ..ops.detect import detect
+from ..ops.impair import apply_awgn
+
+
+class SweepPoint(NamedTuple):
+    snr_db: float
+    ber: float
+    per: float
+
+
+def encode_payload_bits(payload, cr: str):
+    """[..., B] bytes -> [..., bits] LSB-first codeword bit stream
+    (reference: awgn_sweep.py:159-174)."""
+    nibbles = coding.bytes_to_nibbles(payload)
+    if cr == "4/5":
+        cw, width = coding.parity54_encode(nibbles), 5
+    elif cr == "4/6":
+        cw, width = coding.parity64_encode(nibbles), 6
+    elif cr == "4/7":
+        cw, width = coding.hamming74_encode(nibbles), 7
+    elif cr == "4/8":
+        cw, width = coding.hamming84_encode(nibbles), 8
+    else:
+        raise ValueError(f"Unsupported coding rate: {cr}")
+    bits = coding.unpack_bits(cw.astype(jnp.int32), width)
+    return bits.reshape(*bits.shape[:-2], -1)
+
+
+def decode_payload_bits(bits, cr: str, num_bytes: int):
+    """Inverse of :func:`encode_payload_bits` (awgn_sweep.py:177-202)."""
+    width = {"4/5": 5, "4/6": 6, "4/7": 7, "4/8": 8}[cr]
+    cw_bits = bits[..., : num_bytes * 2 * width].reshape(
+        *bits.shape[:-1], num_bytes * 2, width
+    )
+    cw = coding.pack_bits(cw_bits, dtype=jnp.uint8)
+    if cr in ("4/5", "4/6"):
+        nibbles = (cw & 0xF).astype(jnp.uint8)   # detect-only codes
+    elif cr == "4/7":
+        nibbles, _ = coding.hamming74_decode(cw)
+    else:
+        nibbles, _, _ = coding.hamming84_decode(cw)
+    return coding.nibbles_to_bytes(nibbles)
+
+
+def bits_to_symbols(bits, sf: int):
+    """Pack LSB-first bits into sf-bit symbols, zero-padded tail
+    (awgn_sweep.py:205-215)."""
+    nbits = bits.shape[-1]
+    nsym = -(-nbits // sf)
+    pad = nsym * sf - nbits
+    if pad:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros(bits.shape[:-1] + (pad,), bits.dtype)], axis=-1
+        )
+    return coding.pack_bits(bits.reshape(*bits.shape[:-1], nsym, sf), dtype=jnp.uint16)
+
+
+def symbols_to_bits(symbols, sf: int, bit_len: int):
+    """Unpack symbols to LSB-first bits, truncated to ``bit_len``
+    (awgn_sweep.py:218-225)."""
+    bits = coding.unpack_bits(symbols.astype(jnp.int32), sf)
+    return bits.reshape(*bits.shape[:-2], -1)[..., :bit_len]
+
+
+@partial(jax.jit, static_argnames=("sf", "cr", "packets", "payload_len"))
+def _simulate_point(key, snr_db, sf: int, cr: str, packets: int, payload_len: int):
+    """One SNR point, all packets batched. Returns (bit_errors, packet_errors)."""
+    n = 1 << sf
+    up, down = model_chirps(sf)
+
+    kp, kn = jax.random.split(key)
+    payload = jax.random.randint(kp, (packets, payload_len), 0, 256, jnp.int32).astype(
+        jnp.uint8
+    )
+    tx_bits = encode_payload_bits(payload, cr)
+    symbols = bits_to_symbols(tx_bits, sf)                      # [P, S]
+    nbits = tx_bits.shape[-1]
+
+    idx = jnp.arange(n, dtype=jnp.float32)
+    ph = (2.0 * math.pi / n) * symbols.astype(jnp.float32)[..., None] * idx
+    tx = up * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))         # [P, S, N]
+    rx = apply_awgn(kn, tx, jnp.asarray(snr_db, jnp.float32))
+
+    det = detect(rx * down)
+    rx_bits = symbols_to_bits(det.index, sf, nbits)
+    rx_payload = decode_payload_bits(rx_bits, cr, payload_len)
+
+    diff = jnp.bitwise_xor(payload, rx_payload)
+    bit_errors = jnp.sum(coding.unpack_bits(diff.astype(jnp.int32), 8))
+    packet_errors = jnp.sum(jnp.any(diff != 0, axis=-1))
+    return bit_errors, packet_errors
+
+
+def simulate(sf: int, cr: str, snr_db: float, packets: int, payload_len: int,
+             seed: int = 0) -> SweepPoint:
+    """BER/PER at one SNR point (reference: awgn_sweep.py:245-285)."""
+    key = jax.random.PRNGKey(seed)
+    bit_errors, packet_errors = _simulate_point(
+        key, float(snr_db), sf, cr, packets, payload_len
+    )
+    total_bits = packets * payload_len * 8
+    return SweepPoint(
+        float(snr_db),
+        float(bit_errors) / total_bits if total_bits else 0.0,
+        float(packet_errors) / packets if packets else 0.0,
+    )
+
+
+def sweep(profiles, snr_start=0.0, snr_stop=12.0, snr_step=0.5,
+          packets=100, payload_len=16, seed=0):
+    """Full sweep over profiles; yields CSV-schema rows
+    ``{sf, bw, cr, snr_db, ber, per}`` (reference: awgn_sweep.py:304-346)."""
+    rows = []
+    for p in profiles:
+        snrs = np.arange(snr_start, snr_stop + 1e-9, snr_step)
+        for i, snr in enumerate(snrs):
+            pt = simulate(p.sf, p.cr, float(snr), packets, payload_len,
+                          seed=seed + i)
+            rows.append({
+                "sf": p.sf, "bw": p.bw, "cr": p.cr,
+                "snr_db": float(snr), "ber": pt.ber, "per": pt.per,
+            })
+    return rows
+
+
+def write_csv(rows, path):
+    import csv
+
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["sf", "bw", "cr", "snr_db", "ber", "per"])
+        w.writeheader()
+        for r in rows:
+            w.writerow(r)

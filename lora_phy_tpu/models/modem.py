@@ -1,0 +1,379 @@
+"""High-level LoRa modem — pure functions over batched arrays.
+
+TPU-first re-design of the reference's workspace API
+(reference: include/lora_phy/phy.hpp:102-156, src/phy/*.cpp). There is no
+mutable workspace: every function is a pure map from arrays + static
+``LoraParams`` to arrays, jit/vmap/pjit-friendly. The per-symbol FFT loop
+becomes one batched FFT over a ``[..., symbols, N]`` reshape; tie-breaks,
+rounding and dB conventions match the reference bit-for-bit at the symbol
+level (SEMANTIC_COMPATIBILITY.md:6-14).
+
+The two demodulation contracts of the reference are both provided:
+
+* :func:`demodulate` — the *working* path: expects externally dechirped
+  input, exactly like ``lora_demodulate`` (src/phy/LoRaDemod.cpp:49-195,
+  verified contract per SURVEY.md §3.3).
+* :func:`demodulate_integrated` — quirk-compatible port of the integrated
+  ``demodulate()`` (src/phy/phy.cpp:178-239) that dechirps internally but
+  estimates offsets on the raw sync chirps. The reference's defect (bogus
+  CFO/TO on raw chirps, SURVEY.md §2.3 finding 2) is reproduced only when
+  ``quirk_compat=True``; by default the offset estimate is run on the
+  dechirped sync symbols, which makes the integrated path actually work.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import coding
+from ..ops.chirp import base_downchirp, modulate_symbols
+from ..ops.detect import detect
+from ..utils.params import LoraParams, Window
+
+_TWO_PI = 2.0 * math.pi
+
+
+class DemodResult(NamedTuple):
+    symbols: jnp.ndarray      # [..., S] demodulated data symbols (sync removed)
+    sync_word: jnp.ndarray    # [...] recovered sync byte (uint8)
+    cfo: jnp.ndarray          # [...] estimated carrier frequency offset
+    time_offset: jnp.ndarray  # [...] estimated timing offset (samples)
+
+
+class DecodeResult(NamedTuple):
+    payload: jnp.ndarray      # [..., B] decoded bytes
+    crc_ok: jnp.ndarray       # [...] bool, SX1272 CRC16 over payload[2:-2]
+
+
+# ---------------------------------------------------------------------------
+# Encode / decode (simple Hamming(8,4) chain of the reference)
+# ---------------------------------------------------------------------------
+
+def encode(payload):
+    """Byte stream -> Hamming(8,4) codeword-symbols, two per byte
+    (reference: src/phy/LoRaEncoder.cpp:6-18). [..., B] -> [..., 2B] uint16."""
+    nibbles = coding.bytes_to_nibbles(payload)
+    return coding.hamming84_encode(nibbles).astype(jnp.uint16)
+
+
+def decode(symbols):
+    """Symbol pairs -> bytes via Hamming(8,4) correction
+    (reference: src/phy/LoRaDecoder.cpp:6-19). [..., 2B] -> [..., B] uint8."""
+    n = symbols.shape[-1] - (symbols.shape[-1] % 2)
+    nibbles, _, _ = coding.hamming84_decode(symbols[..., :n])
+    return coding.nibbles_to_bytes(nibbles & 0x0F)
+
+
+def decode_with_crc(symbols) -> DecodeResult:
+    """Decode + SX1272 CRC16 verification over ``payload[2:-2]`` against the
+    trailing little-endian CRC bytes (reference: src/phy/phy.cpp:241-256)."""
+    payload = decode(symbols)
+    nbytes = payload.shape[-1]
+    if nbytes >= 4:
+        data = payload[..., 2:-2]
+        provided = payload[..., -2].astype(jnp.uint16) | (
+            payload[..., -1].astype(jnp.uint16) << 8
+        )
+        calc = coding.crc16_sx1272(data)
+        crc_ok = provided == calc
+    else:
+        crc_ok = jnp.zeros(payload.shape[:-1], dtype=bool)
+    return DecodeResult(payload, crc_ok)
+
+
+# ---------------------------------------------------------------------------
+# Modulate
+# ---------------------------------------------------------------------------
+
+def modulate(symbols, params: LoraParams, amplitude: float = 1.0):
+    """Symbols -> phase-continuous chirped IQ with the 2-symbol sync preamble
+    (reference: src/phy/LoRaMod.cpp:8-43). [..., S] -> [..., (S+2)*step]."""
+    return modulate_symbols(
+        symbols, params.sf, params.osr, params.scale, amplitude, params.sync_word
+    )
+
+
+def dechirp(iq, params: LoraParams):
+    """External dechirp: multiply every symbol period by the base downchirp,
+    the working-path contract (reference: tests/e2e_chain_test.cpp:80-93)."""
+    down = base_downchirp(params.sf, params.scale, params.osr)
+    nsym = iq.shape[-1] // params.step
+    x = iq[..., : nsym * params.step].reshape(*iq.shape[:-1], nsym, params.step)
+    return (x * down).reshape(*iq.shape[:-1], nsym * params.step)
+
+
+# ---------------------------------------------------------------------------
+# Window
+# ---------------------------------------------------------------------------
+
+def _window_table(params: LoraParams) -> np.ndarray | None:
+    if params.window == Window.NONE:
+        return None
+    n = params.n
+    i = np.arange(n, dtype=np.float32)
+    # Hann per the reference (src/phy/LoRaDemod.cpp:17-22), float32
+    return (0.5 - 0.5 * np.cos(2.0 * np.float32(math.pi) * i / np.float32(n - 1))).astype(
+        np.float32
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared estimation helpers
+# ---------------------------------------------------------------------------
+
+def _round_half_away(x):
+    """std::round semantics (half away from zero) — jnp.round is half-even."""
+    return jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5))
+
+
+def _wrap_pi(d):
+    """The reference's while-loop phase wrap into [-pi, pi]
+    (src/phy/LoRaDemod.cpp:116-118); inputs are within +-2pi."""
+    d = jnp.where(d > math.pi, d - _TWO_PI, d)
+    return jnp.where(d < -math.pi, d + _TWO_PI, d)
+
+
+def _osr_phase_view(x, n: int, osr: int):
+    """[..., S*step] -> [..., S, osr, N] where [..., s, t, i] = x[s*step + t + i*osr]."""
+    s = x.shape[-1] // (n * osr)
+    v = x[..., : s * n * osr].reshape(*x.shape[:-1], s, n, osr)
+    return jnp.swapaxes(v, -1, -2)
+
+
+def _estimate(x, n: int, osr: int, window, tie_break_idx: bool, backend: str):
+    """Per-frame CFO/TO estimation over the symbols contained in ``x``.
+
+    Implements both estimator variants:
+    * ``tie_break_idx=True``  — ``lora_demodulate``'s deterministic
+      lowest-index tie-break (src/phy/LoRaDemod.cpp:101-105);
+    * ``tie_break_idx=False`` — ``estimate_offsets``'s plain ``p > best``
+      scan (src/phy/phy.cpp:113).
+
+    Returns ``(cfo, time_offset)`` float32 with leading batch dims.
+    """
+    view = _osr_phase_view(x, n, osr)                     # [..., S, osr, N]
+    if window is not None:
+        view = view * jnp.asarray(window)
+    det = detect(view, backend=backend)                   # fields [..., S, osr]
+    p, idx = det.power, det.index
+
+    maxp = jnp.max(p, axis=-1, keepdims=True)
+    cand = p == maxp
+    if tie_break_idx:
+        idx_masked = jnp.where(cand, idx, jnp.iinfo(jnp.int32).max)
+        min_idx = jnp.min(idx_masked, axis=-1, keepdims=True)
+        cand = cand & (idx_masked == min_idx)
+    best_t = jnp.argmax(cand, axis=-1)                    # first winning osr phase
+
+    def pick(field):
+        return jnp.take_along_axis(field, best_t[..., None], axis=-1)[..., 0]
+
+    best_idx = pick(idx)
+    best_fi = pick(det.findex)
+    best_bin = pick(det.peak_bin)
+
+    nsym = view.shape[-3]
+    sum_index = jnp.sum(best_idx.astype(jnp.float32) + best_fi, axis=-1)
+    avg_index = sum_index / jnp.float32(nsym)
+    cfo_coarse = avg_index / jnp.float32(n)
+
+    phase = jnp.arctan2(jnp.imag(best_bin), jnp.real(best_bin)).astype(jnp.float32)
+    if nsym > 1:
+        diffs = _wrap_pi(phase[..., 1:] - phase[..., :-1])
+        cfo_fine = (jnp.sum(diffs, axis=-1) / jnp.float32(nsym - 1)) / (
+            jnp.float32(_TWO_PI) * jnp.float32(n)
+        )
+    else:
+        cfo_fine = jnp.zeros_like(cfo_coarse)
+    cfo = cfo_coarse + cfo_fine
+
+    frac = avg_index - jnp.floor(avg_index + 0.5)
+    avg_t = jnp.sum(best_t, axis=-1).astype(jnp.float32) / jnp.float32(nsym)
+    time_offset = avg_t - frac * jnp.float32(n) * jnp.float32(osr)
+    return cfo.astype(jnp.float32), time_offset.astype(jnp.float32)
+
+
+def _shifted_symbol_gather(x, total_symbols: int, n: int, osr: int, t_off):
+    """Gather [..., S, N] decimated symbol windows with the reference's
+    guarded timing-offset shift (src/phy/LoRaDemod.cpp:141-149).
+
+    ``t_off`` is an int32 with the batch's leading dims.
+    """
+    step = n * osr
+    sample_count = total_symbols * step
+    s = jnp.arange(total_symbols, dtype=jnp.int32)
+    base = s * step                                        # [S]
+    t = t_off[..., None].astype(jnp.int32)                 # [..., 1]
+    pos_ok = base + t + step <= sample_count
+    neg_ok = -t <= base
+    shifted = jnp.where(
+        (t > 0) & pos_ok, base + t, jnp.where((t < 0) & neg_ok, base + t, base)
+    )                                                      # [..., S]
+    gidx = shifted[..., None] + (jnp.arange(n, dtype=jnp.int32) * osr)
+    flat = gidx.reshape(*gidx.shape[:-2], total_symbols * n)
+    vals = jnp.take_along_axis(x, jnp.clip(flat, 0, sample_count - 1), axis=-1)
+    return vals.reshape(*vals.shape[:-1], total_symbols, n)
+
+
+def _sync_from_symbols(idx0, idx1, sf: int):
+    """Recover the two-nibble sync byte (src/phy/LoRaDemod.cpp:177-192)."""
+    shift = (sf - 4) if sf > 4 else 0
+    hi = (idx0 >> shift) & 0x0F
+    lo = (idx1 >> shift) & 0x0F
+    return ((hi << 4) | lo).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Demodulate (working, dechirped-input path)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("params", "backend"))
+def demodulate(samples, params: LoraParams, backend: str = "xla") -> DemodResult:
+    """Demodulate already-dechirped samples — the reference's working
+    contract (``lora_demodulate``, src/phy/LoRaDemod.cpp:49-195).
+
+    ``samples``: [..., S_total*step] complex64 (S_total >= 2; first two
+    symbols are the sync word). Returns data symbols [..., S_total-2],
+    the recovered sync byte, and CFO/TO estimates.
+    """
+    n, osr, step = params.n, params.osr, params.step
+    total_symbols = samples.shape[-1] // step
+    if total_symbols < 2:
+        raise ValueError("need at least the 2 sync symbols")
+    x = samples[..., : total_symbols * step]
+
+    # Amplitude normalisation into [-1, 1] (src/phy/LoRaDemod.cpp:59-77)
+    max_amp = jnp.max(
+        jnp.maximum(jnp.abs(jnp.real(x)), jnp.abs(jnp.imag(x))), axis=-1
+    )
+    scale = jnp.where(max_amp > 1.0, 1.0 / max_amp, 1.0).astype(jnp.float32)
+    x = x * scale[..., None]
+
+    window = _window_table(params)
+
+    # Two-symbol CFO/TO estimation with deterministic tie-break
+    cfo, time_offset = _estimate(
+        x[..., : 2 * step], n, osr, window, tie_break_idx=True, backend=backend
+    )
+
+    t_off = _round_half_away(time_offset).astype(jnp.int32)
+    rate = (-jnp.float32(_TWO_PI) * cfo / jnp.float32(n)).astype(jnp.float32)
+
+    sym = _shifted_symbol_gather(x, total_symbols, n, osr, t_off)  # [..., S, N]
+
+    s_idx = jnp.arange(total_symbols, dtype=jnp.float32) * jnp.float32(n)
+    start = rate[..., None] * (
+        s_idx + t_off.astype(jnp.float32)[..., None] / jnp.float32(osr)
+    )                                                              # [..., S]
+    ph = start[..., None] + rate[..., None, None] * jnp.arange(n, dtype=jnp.float32)
+    rot = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+    fft_in = sym * rot
+    if window is not None:
+        fft_in = fft_in * jnp.asarray(window)
+
+    det = detect(fft_in, backend=backend)
+    syms = det.index.astype(jnp.uint16)                            # [..., S]
+    sync = _sync_from_symbols(
+        syms[..., 0].astype(jnp.int32), syms[..., 1].astype(jnp.int32), params.sf
+    )
+    return DemodResult(syms[..., 2:], sync, cfo, time_offset)
+
+
+# ---------------------------------------------------------------------------
+# estimate / compensate (public API parity with phy.cpp)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("params", "backend"))
+def estimate_offsets(samples, params: LoraParams, backend: str = "xla"):
+    """CFO/TO estimation over whole symbols (reference: src/phy/phy.cpp:78-145;
+    note this variant has no argmax-index tie-break across osr phases)."""
+    window = _window_table(params)
+    return _estimate(samples, params.n, params.osr, window,
+                     tie_break_idx=False, backend=backend)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def compensate_offsets(samples, params: LoraParams, cfo, time_offset):
+    """Derotate by the estimated CFO and shift by the integer timing offset
+    with zero fill (reference: src/phy/phy.cpp:147-176)."""
+    n, osr = params.n, params.osr
+    count = samples.shape[-1]
+    rate = -jnp.float32(_TWO_PI) * jnp.asarray(cfo, jnp.float32) / (
+        jnp.float32(n) * jnp.float32(osr)
+    )
+    ph = rate[..., None] * jnp.arange(count, dtype=jnp.float32)
+    out = samples * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+
+    offset = _round_half_away(jnp.asarray(time_offset, jnp.float32)).astype(jnp.int32)
+    idx = jnp.arange(count, dtype=jnp.int32)
+    src = idx - offset[..., None]
+    valid = (src >= 0) & (src < count)
+    # only shift when |offset| < count, as the reference guards
+    do_shift = (jnp.abs(offset) < count)[..., None]
+    gathered = jnp.take_along_axis(out, jnp.clip(src, 0, count - 1), axis=-1)
+    shifted = jnp.where(valid, gathered, 0.0)
+    return jnp.where(do_shift, shifted, out)
+
+
+# ---------------------------------------------------------------------------
+# Integrated demodulator (quirk-compat port of phy.cpp demodulate)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("params", "backend", "quirk_compat"))
+def demodulate_integrated(
+    iq, params: LoraParams, backend: str = "xla", quirk_compat: bool = False
+) -> DemodResult:
+    """Integrated demodulation of raw chirped IQ
+    (reference: src/phy/phy.cpp:178-239): per-symbol dechirp with the base
+    downchirp, CFO derotation, FFT argmax, sync extraction.
+
+    ``quirk_compat=True`` reproduces the reference defect of estimating
+    CFO/TO on the *raw* (non-dechirped) sync chirps (phy.cpp:192-193),
+    which corrupts the decisions (SURVEY.md §2.3 finding 2). The default
+    estimates on dechirped sync symbols so the integrated path round-trips.
+    """
+    n, osr, step = params.n, params.osr, params.step
+    total_symbols = iq.shape[-1] // step
+    if total_symbols < 2:
+        raise ValueError("need at least the 2 sync symbols")
+    x = iq[..., : total_symbols * step]
+    window = _window_table(params)
+
+    down = base_downchirp(params.sf, params.scale)         # [N], osr=1 per phy.cpp:203
+    down_os = jnp.repeat(down, osr) if osr > 1 else down   # align to oversampled grid
+
+    est_input = x[..., : 2 * step]
+    if not quirk_compat:
+        est_input = est_input.reshape(*x.shape[:-1], 2, step) * down_os
+        est_input = est_input.reshape(*x.shape[:-1], 2 * step)
+    cfo, time_offset = _estimate(
+        est_input, n, osr, window, tie_break_idx=False, backend=backend
+    )
+
+    t_off = _round_half_away(time_offset).astype(jnp.int32)
+    rate = (-jnp.float32(_TWO_PI) * cfo / jnp.float32(n)).astype(jnp.float32)
+
+    sym = _shifted_symbol_gather(x, total_symbols, n, osr, t_off)  # [..., S, N]
+    sym = sym * down                                                # dechirp (phy.cpp:221)
+
+    s_idx = jnp.arange(total_symbols, dtype=jnp.float32) * jnp.float32(n)
+    start = rate[..., None] * (
+        s_idx + t_off.astype(jnp.float32)[..., None] / jnp.float32(osr)
+    )
+    ph = start[..., None] + rate[..., None, None] * jnp.arange(n, dtype=jnp.float32)
+    fft_in = sym * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+    if window is not None:
+        fft_in = fft_in * jnp.asarray(window)
+
+    det = detect(fft_in, backend=backend)
+    syms = det.index.astype(jnp.uint16)
+    sync = _sync_from_symbols(
+        syms[..., 0].astype(jnp.int32), syms[..., 1].astype(jnp.int32), params.sf
+    )
+    return DemodResult(syms[..., 2:], sync, cfo, time_offset)

@@ -1,0 +1,153 @@
+"""Chirp synthesis — closed-form on an exact integer phase lattice.
+
+The reference generates chirps with a sequential per-sample float32
+phase/frequency accumulator (reference: include/lora_phy/ChirpGenerator.hpp:23-50)
+and a phase-continuity carry across symbols (reference: src/phy/LoRaMod.cpp:8-43).
+Sequential carries are hostile to TPUs, so this module replaces them with a
+closed form (SURVEY.md §5.7c) built on an exact integer lattice:
+
+Let ``M = N*osr`` (steps per sweep) and ``fStep = 2*pi*bw_scale/(N*osr^2)``.
+Every quantity in the reference recurrence is an integer multiple of
+``fStep``:  ``fMin = -(M/2)*fStep*osr``... more precisely
+``fMin/fStep = -M/2`` and the modulator's ``f0`` is ``sym*osr*fStep``
+(src/phy/LoRaMod.cpp:36-37). The wrapped instantaneous frequency after
+``k`` steps is ``fStep * (v_k - M/2)`` with ``v_k = ((sym*osr + k) mod M) + 1``,
+and the phase is ``fStep * (S_k - (M/2)*(k+1))`` with ``S_k = cumsum(v)`` —
+all int32. Since ``fStep * P = 2*pi`` exactly for ``P = N*osr^2/bw_scale``
+(a power of two), phases reduce mod 2*pi *in integer arithmetic*, so the
+synthesized chirp has zero accumulation drift — strictly more accurate
+than the reference's float32 accumulator, with identical demodulated
+symbols (parity is defined at symbol level per SEMANTIC_COMPATIBILITY.md).
+
+The per-symbol phase carry is the constant ``delta = fStep*M/2`` for every
+symbol, so the cross-symbol continuity chain collapses to
+``s*(M/2) mod P`` — embarrassingly parallel over symbols. Outputs are
+complex64 in [-1, 1] (SEMANTIC_COMPATIBILITY.md:6-14).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _lattice_period(n: int, osr: int, bw_scale: float) -> tuple[float, int]:
+    """(fStep, P) with fStep * P == 2*pi exactly in the reals."""
+    f_step = (2.0 * math.pi * bw_scale) / (n * osr * osr)
+    p = n * osr * osr / bw_scale
+    p_int = int(round(p))
+    if abs(p - p_int) > 1e-9:
+        raise ValueError(f"bw_scale {bw_scale} does not divide the lattice")
+    return f_step, p_int
+
+
+def gen_chirp(
+    n: int,
+    osr: int,
+    nn: int,
+    f0: float,
+    down: bool,
+    ampl: float = 1.0,
+    phase0: float = 0.0,
+    bw_scale: float = 1.0,
+):
+    """Host-side (NumPy, float64) equivalent of the reference ``genChirp``
+    (ChirpGenerator.hpp:23-50) for arbitrary ``f0``. Used at trace time to
+    build constants (base downchirps, fixtures).
+
+    Returns ``(samples[nn] complex64, phase_accum_out float)`` where the
+    phase accumulator output follows the reference's carry contract
+    (ChirpGenerator.hpp:48).
+    """
+    f_min = -math.pi * bw_scale / osr
+    f_step = (2.0 * math.pi * bw_scale) / (n * osr * osr)
+    m = n * osr
+    k = np.arange(nn, dtype=np.float64)
+    u = f0 / f_step + k + 1.0                     # in fStep units
+    v = u - (np.ceil(u / m) - 1.0) * m            # wrapped into (0, M]
+    f = f_min + v * f_step
+    csum = np.cumsum(f)
+    phase = phase0 + (-csum if down else csum)
+    samples = (ampl * np.exp(1j * phase)).astype(np.complex64)
+    end = float(phase[-1])
+    end -= math.floor(end / (2 * math.pi)) * (2 * math.pi)
+    return jnp.asarray(samples), end
+
+
+@partial(jax.jit, static_argnames=("n", "osr", "bw_scale_x8"))
+def _mod_chirps(symbols, n: int, osr: int, bw_scale_x8: int, ampl):
+    """Phase-continuous upchirps for symbol values on the integer lattice.
+
+    ``symbols``: [..., S] int32 symbol values in [0, N). Returns
+    [..., S, N*osr] complex64 reproducing ``lora_modulate``'s continuity
+    (LoRaMod.cpp:34-41) in closed form.
+    """
+    bw_scale = bw_scale_x8 / 8.0
+    f_step, p = _lattice_period(n, osr, bw_scale)
+    m = n * osr
+    half_m = m // 2
+
+    ks = jnp.arange(m, dtype=jnp.int32)
+    w = (symbols.astype(jnp.int32) * osr)[..., None]       # [..., S, 1]
+    v = ((w + ks[None, :]) % m) + 1                        # [..., S, M] in [1, M]
+    s_cum = jnp.cumsum(v, axis=-1)                         # <= M(M+1)/2 + M < 2^31
+    t_lattice = s_cum - half_m * (ks + 1)                  # phase / fStep, int32
+
+    # Cross-symbol carry: s-th symbol starts at phase fStep * (s*M/2 mod P)
+    s_idx = jnp.arange(symbols.shape[-1], dtype=jnp.int32)
+    carry = (s_idx * half_m) % p                           # [S]
+
+    lattice = (carry[:, None] + t_lattice) % p             # [..., S, M] in [0, P)
+    phase = lattice.astype(jnp.float32) * jnp.float32(f_step)
+    return (ampl * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))).astype(
+        jnp.complex64
+    )
+
+
+def modulate_symbols(symbols, sf: int, osr: int, bw_scale: float,
+                     ampl: float = 1.0, sync_word: int = 0x12):
+    """TX chain of ``lora_modulate`` (reference: src/phy/LoRaMod.cpp:8-43):
+    2 sync-word upchirps followed by one upchirp per symbol, phase-continuous,
+    amplitude clamped to [-1, 1].
+
+    ``symbols``: [..., S] integer array. Returns [..., (S+2)*N*osr] complex64.
+    """
+    symbols = jnp.asarray(symbols)
+    shift = (sf - 4) if sf > 4 else 0
+    sw0 = ((sync_word >> 4) & 0xF) << shift
+    sw1 = (sync_word & 0xF) << shift
+    ampl = float(np.clip(ampl, -1.0, 1.0))
+    sync = jnp.broadcast_to(
+        jnp.asarray([sw0, sw1], dtype=jnp.int32), symbols.shape[:-1] + (2,)
+    )
+    allsyms = jnp.concatenate([sync, symbols.astype(jnp.int32)], axis=-1)
+    bw8 = int(round(bw_scale * 8))
+    chirps = _mod_chirps(allsyms, 1 << sf, osr, bw8, ampl)
+    return chirps.reshape(*chirps.shape[:-2], -1)
+
+
+def base_downchirp(sf: int, bw_scale: float = 1.0, osr: int = 1):
+    """The canonical dechirp reference: ``genChirp(N, osr, N*osr, 0, down)``
+    as used by the integrated demodulator (reference: src/phy/phy.cpp:203-204,
+    always osr=1) and the e2e external-dechirp contract
+    (tests/e2e_chain_test.cpp:85-87)."""
+    n = 1 << sf
+    samples, _ = gen_chirp(n, osr, n * osr, 0.0, down=True, ampl=1.0,
+                           phase0=0.0, bw_scale=bw_scale)
+    return samples
+
+
+def model_chirps(sf: int):
+    """The pure-model up/down chirps of the AWGN executable spec
+    (reference: tests/awgn_sweep.py:233-242):
+    ``up = exp(j*cumsum(-pi + 2*pi*n/N))``, ``down = conj(up)``."""
+    n = 1 << sf
+    idx = np.arange(n, dtype=np.float64)
+    phase = -math.pi + (2.0 * math.pi * idx) / n
+    accum = np.cumsum(phase)
+    up = np.exp(1j * accum).astype(np.complex64)
+    return jnp.asarray(up), jnp.asarray(np.conj(up))

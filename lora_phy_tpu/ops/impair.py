@@ -1,0 +1,66 @@
+"""RF impairment injectors as pure JAX transforms.
+
+The reference's fault-injection surface for the radio channel
+(SURVEY.md §5.3): CFO rotation and sample-shift injection
+(reference: runners/lora_phy_vector_generate.cpp:88-124 ``apply_offsets``)
+and AWGN (reference: tests/awgn_sweep.py:262-268,
+tests/awgn_sweep_gtest.cpp:76-80). All parameterisable per channel/batch
+via broadcasting leading dims.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def apply_cfo(samples, cfo_bins, n: int, osr: int = 1):
+    """Rotate by a CFO of ``cfo_bins`` FFT bins, phase wrapping per symbol
+    period exactly like the reference's injector
+    (lora_phy_vector_generate.cpp:101-107: ``ph = 2*pi*cfo*(n % N)/N``).
+
+    ``cfo_bins`` may carry leading batch dims.
+    """
+    step = n * osr
+    count = samples.shape[-1]
+    idx = (jnp.arange(count, dtype=jnp.float32) % step)
+    ph = (2.0 * math.pi / step) * jnp.asarray(cfo_bins, jnp.float32)[..., None] * idx
+    return samples * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+
+
+def apply_cfo_continuous(samples, cfo_bins, n: int, osr: int = 1):
+    """Physically-continuous CFO rotation (no per-symbol phase reset):
+    ``exp(j*2*pi*cfo_bins*t/(N*osr))`` over the global sample index."""
+    step = n * osr
+    count = samples.shape[-1]
+    idx = jnp.arange(count, dtype=jnp.float32)
+    ph = (2.0 * math.pi / step) * jnp.asarray(cfo_bins, jnp.float32)[..., None] * idx
+    return samples * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+
+
+def apply_time_shift(samples, shift: int):
+    """Integer sample shift with zero fill, matching the reference injector
+    (lora_phy_vector_generate.cpp:109-119: positive shift drops leading
+    samples and pads the tail with zeros; negative prepends zeros)."""
+    count = samples.shape[-1]
+    idx = jnp.arange(count, dtype=jnp.int32) + jnp.asarray(shift, jnp.int32)
+    valid = (idx >= 0) & (idx < count)
+    gathered = jnp.take(samples, jnp.clip(idx, 0, count - 1), axis=-1)
+    return jnp.where(valid, gathered, 0.0)
+
+
+def apply_awgn(key, samples, snr_db):
+    """Complex AWGN at the given SNR, matching the reference model's noise
+    convention ``sigma = 10**(-snr/20)``, per-component ``sigma/sqrt(2)``
+    (reference: tests/awgn_sweep.py:246, 262-268). ``snr_db`` may carry
+    leading batch dims (per-channel SNR)."""
+    sigma = 10.0 ** (-jnp.asarray(snr_db, jnp.float32) / 20.0)
+    kr, ki = jax.random.split(key)
+    shape = samples.shape
+    noise = jax.lax.complex(
+        jax.random.normal(kr, shape, jnp.float32),
+        jax.random.normal(ki, shape, jnp.float32),
+    ) * (sigma[..., None] / jnp.float32(math.sqrt(2.0)))
+    return samples + noise

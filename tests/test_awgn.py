@@ -1,0 +1,67 @@
+"""AWGN statistical gates.
+
+* The reference's quality gate: zero decode errors at 12 dB SNR across the
+  profile matrix (reference: tests/awgn_sweep_gtest.cpp:52-108 — 5 packets
+  per profile through the real chain; we run more).
+* PER/SNR bound parity with the reference's Python model
+  (tests/awgn_sweep.py): at moderate SNR the model and our full modem chain
+  must both be error-free; at very low SNR both must fail.
+"""
+
+import numpy as np
+import pytest
+
+from lora_phy_tpu.models import awgn, modem
+from lora_phy_tpu.ops.impair import apply_awgn
+from lora_phy_tpu.utils.profiles import DEFAULT_PROFILES
+import jax
+
+
+@pytest.mark.parametrize("profile", DEFAULT_PROFILES, ids=lambda p: p.name)
+def test_model_error_free_at_12db(profile):
+    pt = awgn.simulate(profile.sf, profile.cr, 12.0, packets=20, payload_len=16)
+    assert pt.per == 0.0 and pt.ber == 0.0
+
+
+@pytest.mark.parametrize("profile", DEFAULT_PROFILES, ids=lambda p: p.name)
+def test_model_fails_at_very_low_snr(profile):
+    pt = awgn.simulate(profile.sf, profile.cr, -25.0, packets=10, payload_len=16)
+    assert pt.per > 0.5
+
+
+def test_full_chain_error_free_at_12db():
+    """The real modem chain (encode/modulate/dechirp/demodulate/decode)
+    through AWGN at 12 dB — the awgn_sweep_gtest contract
+    (reference: tests/awgn_sweep_gtest.cpp:55-105)."""
+    for profile in DEFAULT_PROFILES:
+        p = profile.params()
+        payload = np.arange(16, dtype=np.uint8)
+        syms = modem.encode(payload)
+        iq = modem.modulate(syms, p)
+        dech = modem.dechirp(iq, p)
+        key = jax.random.PRNGKey(0)
+        noisy = apply_awgn(key, dech, 12.0)
+        res = modem.demodulate(noisy, p)
+        out = np.asarray(modem.decode(np.asarray(res.symbols)))
+        np.testing.assert_array_equal(out, payload)
+
+
+def test_sweep_csv_schema(tmp_path):
+    rows = awgn.sweep(DEFAULT_PROFILES[:1], snr_start=10.0, snr_stop=11.0,
+                      snr_step=1.0, packets=4, payload_len=4)
+    assert len(rows) == 2
+    assert set(rows[0]) == {"sf", "bw", "cr", "snr_db", "ber", "per"}
+    out = tmp_path / "awgn_sweep.csv"
+    awgn.write_csv(rows, out)
+    header = out.read_text().splitlines()[0]
+    assert header == "sf,bw,cr,snr_db,ber,per"
+
+
+def test_waterfall_monotone():
+    """PER decreases (weakly) as SNR rises through the waterfall region."""
+    pers = [
+        awgn.simulate(7, "4/8", snr, packets=30, payload_len=8, seed=3).per
+        for snr in (-20.0, -10.0, 0.0, 12.0)
+    ]
+    assert pers[0] >= pers[-1]
+    assert pers[-1] == 0.0
