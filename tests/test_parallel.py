@@ -1,0 +1,111 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4: multi-host logic tested via
+``--xla_force_host_platform_device_count``).
+
+Gates:
+* channel-sharded batched demod == single-device demod, bit-exact;
+* time-sharded streaming demod with ppermute halos == single-device
+  demod, bit-exact, including under injected timing shifts that force
+  cross-shard halo reads;
+* jit cache stays stable in steady state (the reference's zero-alloc
+  property translated to the XLA world — SURVEY.md §5.2).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lora_phy_tpu.models import modem
+from lora_phy_tpu.parallel import mesh as meshlib
+from lora_phy_tpu.parallel.stream import demodulate_stream
+from lora_phy_tpu.ops.impair import apply_time_shift
+from lora_phy_tpu.utils.params import LoraParams
+
+
+@pytest.fixture(scope="module")
+def devices():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return devs
+
+
+def _make_stream(p, n_channels, payload_len=32, seed=0):
+    rng = np.random.RandomState(seed)
+    payloads = rng.randint(0, 256, (n_channels, payload_len)).astype(np.uint8)
+    syms = modem.encode(payloads)
+    iq = modem.modulate(syms, p)
+    return payloads, np.asarray(modem.dechirp(iq, p))
+
+
+def test_channel_sharded_equals_single(devices):
+    p = LoraParams(sf=7)
+    m = meshlib.make_mesh(n_channel=8, n_time=1, devices=devices)
+    payloads, dech = _make_stream(p, 8)
+    ref = modem.demodulate(dech, p)
+
+    sharded = jax.device_put(dech, meshlib.channel_sharding(m))
+    res = modem.demodulate(sharded, p)
+    np.testing.assert_array_equal(np.asarray(res.symbols), np.asarray(ref.symbols))
+    np.testing.assert_array_equal(np.asarray(res.sync_word), np.asarray(ref.sync_word))
+
+
+@pytest.mark.parametrize("layout", [(1, 8), (2, 4), (4, 2)])
+def test_time_sharded_stream_equals_single(devices, layout):
+    n_ch, n_t = layout
+    p = LoraParams(sf=7)
+    m = meshlib.make_mesh(n_channel=n_ch, n_time=n_t, devices=devices)
+    payloads, dech = _make_stream(p, n_ch, payload_len=31)  # 64 symbols total
+    ref = modem.demodulate(dech, p)
+
+    sharded = jax.device_put(dech, meshlib.stream_sharding(m))
+    syms, sync, cfo, to = demodulate_stream(sharded, p, m)
+    np.testing.assert_array_equal(
+        np.asarray(syms)[..., 2:], np.asarray(ref.symbols)
+    )
+    np.testing.assert_array_equal(np.asarray(sync), np.asarray(ref.sync_word))
+    np.testing.assert_allclose(np.asarray(cfo), np.asarray(ref.cfo), atol=1e-6)
+
+
+def test_time_sharded_with_timing_shift(devices):
+    """A +3-sample injected shift makes every shard's gather cross its right
+    block boundary — exercises the ppermute halo path for real."""
+    p = LoraParams(sf=7)
+    m = meshlib.make_mesh(n_channel=2, n_time=4, devices=devices)
+    payloads, dech = _make_stream(p, 2, payload_len=31)
+    shifted = np.asarray(apply_time_shift(dech, 3))
+    ref = modem.demodulate(shifted, p)
+
+    sharded = jax.device_put(shifted, meshlib.stream_sharding(m))
+    syms, sync, cfo, to = demodulate_stream(sharded, p, m)
+    np.testing.assert_array_equal(
+        np.asarray(syms)[..., 2:], np.asarray(ref.symbols)
+    )
+    np.testing.assert_allclose(np.asarray(to), np.asarray(ref.time_offset), atol=1e-5)
+
+
+def test_amplitude_normalisation_collective(devices):
+    """Global per-channel pmax normalisation matches single-device."""
+    p = LoraParams(sf=7)
+    m = meshlib.make_mesh(n_channel=2, n_time=4, devices=devices)
+    payloads, dech = _make_stream(p, 2, payload_len=31)
+    dech = dech * 2.5   # force the >1.0 rescale path
+    ref = modem.demodulate(dech, p)
+    sharded = jax.device_put(dech, meshlib.stream_sharding(m))
+    syms, sync, _, _ = demodulate_stream(sharded, p, m)
+    np.testing.assert_array_equal(np.asarray(syms)[..., 2:], np.asarray(ref.symbols))
+
+
+def test_no_retrace_steady_state(devices):
+    """Steady-state jit cache stability — the TPU translation of the
+    reference's zero-allocation contract (tests/no_alloc_test.cpp):
+    repeated calls with same shapes must not retrace/recompile."""
+    p = LoraParams(sf=7)
+    payloads, dech = _make_stream(p, 4)
+    modem.demodulate(dech, p)   # warm
+    misses0 = modem.demodulate._cache_size()
+    for i in range(3):
+        modem.demodulate(dech * (1.0 + i * 0.1), p)
+    assert modem.demodulate._cache_size() == misses0

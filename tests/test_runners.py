@@ -1,0 +1,125 @@
+"""CLI runner parity: tx/rx round trip via IQ files (the reference's
+runner contract, tx_runner.cpp/rx_runner.cpp), vector generation with
+base64+SHA256 manifests, comparator and perf-gate tools."""
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from lora_phy_tpu.runners import (
+    compare_perf,
+    compare_vectors,
+    rx_runner,
+    tx_runner,
+    vector_dump,
+    vector_generate,
+)
+from lora_phy_tpu.utils.iqio import read_iq, write_iq
+from lora_phy_tpu.utils.params import LoraParams
+
+
+def test_tx_rx_roundtrip(tmp_path, capsys):
+    iq_path = tmp_path / "out.iq"
+    assert tx_runner.main([
+        "--payload=deadbeefcafe", "--sf=7", f"--out={iq_path}",
+    ]) == 0
+    samples = read_iq(iq_path)
+    # (6 bytes * 2 + 2 sync) * 128 samples
+    assert samples.size == 14 * 128
+
+    assert rx_runner.main([f"--in={iq_path}", "--sf=7", "--report-offsets"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert out == "deadbeefcafe"
+
+
+def test_rx_integrated_quirk(tmp_path, capsys):
+    """The integrated path on raw IQ reproduces the reference's broken
+    decode (tx_runner | rx_runner gives 50f27003 for deadbeef —
+    SURVEY.md §2.3 finding 2 [VERIFIED])."""
+    iq_path = tmp_path / "x.iq"
+    tx_runner.main(["--payload=deadbeef", f"--out={iq_path}"])
+    assert rx_runner.main([f"--in={iq_path}", "--integrated"]) == 0
+    decoded = capsys.readouterr().out.strip().splitlines()[-1]
+    # our default integrated path estimates on dechirped sync, so it works
+    assert decoded == "deadbeef"
+
+
+def test_vector_generate_manifest(tmp_path):
+    p = LoraParams(sf=7)
+    out = vector_generate.generate(tmp_path / "v1", p, seed=1, byte_count=8)
+    names = sorted(f.name for f in out.iterdir())
+    assert "manifest.json" in names
+    assert "payload.bin.b64" in names and "decoded.bin.b64" in names
+    manifest = json.loads((out / "manifest.json").read_text())
+    assert set(manifest["files"]) == set(n for n in names if n != "manifest.json")
+
+    # the working-path divergence: decoded == payload (unlike the reference)
+    import base64
+
+    payload = base64.b64decode((out / "payload.bin.b64").read_bytes())
+    decoded = base64.b64decode((out / "decoded.bin.b64").read_bytes())
+    assert payload == decoded
+
+
+def test_vector_quirk_compat_differs(tmp_path):
+    """quirk-compat reproduces the reference's broken integrated goldens:
+    decoded.bin != payload.bin (SURVEY.md §2.3 finding 3)."""
+    import base64
+
+    p = LoraParams(sf=7)
+    out = vector_generate.generate(tmp_path / "vq", p, seed=1, byte_count=16,
+                                   quirk_compat=True)
+    payload = base64.b64decode((out / "payload.bin.b64").read_bytes())
+    decoded = base64.b64decode((out / "decoded.bin.b64").read_bytes())
+    assert payload != decoded
+
+
+def test_vector_determinism_and_compare(tmp_path):
+    p = LoraParams(sf=7)
+    a = vector_generate.generate(tmp_path / "a", p, seed=3, byte_count=8)
+    b = vector_generate.generate(tmp_path / "b", p, seed=3, byte_count=8)
+    assert compare_vectors.main([str(a), str(b)]) == 0
+    c = vector_generate.generate(tmp_path / "c", p, seed=4, byte_count=8)
+    assert compare_vectors.main([str(a), str(c)]) == 1
+
+
+def test_vector_impairments(tmp_path):
+    p = LoraParams(sf=7)
+    out = vector_generate.generate(tmp_path / "imp", p, seed=1, byte_count=8,
+                                   cfo_bins=0.25, time_offset=2.0, b64=False)
+    assert (out / "iq_samples_offset.csv").exists()
+
+
+def test_vector_dump_stage_selection(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    assert vector_dump.main([
+        "--sf=7", "--bytes=4", "--out=dump", "--dump=payload,decoded",
+    ]) == 0
+    names = sorted(f.name for f in pathlib.Path("dump").iterdir())
+    assert names == ["decoded.bin", "manifest.json", "payload.bin"]
+
+
+def test_compare_perf_gate(tmp_path):
+    base = tmp_path / "base.csv"
+    new_ok = tmp_path / "ok.csv"
+    new_bad = tmp_path / "bad.csv"
+    hdr = "run_id,profile,sf,N,pps,us_per_symbol\n"
+    base.write_text(hdr + "r1,sf7,7,128,1000,5.0\n")
+    new_ok.write_text(hdr + "r2,sf7,7,128,1200,4.0\n")
+    new_bad.write_text(hdr + "r2,sf7,7,128,800,7.0\n")
+    assert compare_perf.main([str(base), str(new_ok)]) == 0
+    assert compare_perf.main([str(base), str(new_bad)]) == 1
+
+
+def test_iqio_stdin_stdout_format(tmp_path):
+    x = (np.arange(8) + 1j * np.arange(8)).astype(np.complex64)
+    path = tmp_path / "t.iq"
+    write_iq(path, x)
+    raw = np.fromfile(path, dtype=np.float32)
+    assert raw.size == 16
+    np.testing.assert_array_equal(raw[0::2], x.real)
+    np.testing.assert_array_equal(raw[1::2], x.imag)
+    back = read_iq(path)
+    np.testing.assert_array_equal(back, x)
