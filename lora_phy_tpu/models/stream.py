@@ -1,0 +1,225 @@
+"""Streaming receiver: frame synchronisation over a continuous IQ stream
+with explicit, resumable carry state.
+
+The reference demodulator requires the whole, frame-aligned sample buffer
+in memory and has no preamble/frame detection at all (SURVEY.md §5.7: the
+only carried state is the modulator's phase accumulator). This module adds
+the standard-LoRa frame structure the reference only *documents*
+(reference: scripts/create_golden_vectors.cpp:95-140 — preamble upchirps,
+2 sync upchirps, 2.25 downchirps, payload) and a TPU-native synchroniser:
+
+* TX :func:`frame_modulate` — preamble + sync + 2.25 downchirps + payload;
+* RX :func:`frame_sync` — the classic two-sided dechirp detector, fully
+  vectorized: window the stream into symbol periods, argmax the
+  up-dechirped FFT (preamble windows repeat the same bin: run-detect) and
+  the down-dechirped FFT over the downchirp section; the two bins split
+  into timing and integer-CFO:
+      bin_up   ~ cfo - tau,   bin_down ~ cfo + tau
+      tau = (bin_down - bin_up)/2,  cfo_int = (bin_down + bin_up)/2
+* :class:`StreamDemodulator` — block-wise processing with a carried tail
+  (pytree state), so continuous streams demodulate without seam artifacts
+  and processing is resumable/shardable (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops.chirp import base_downchirp, gen_chirp, modulate_symbols
+from ..ops.detect import detect
+from ..utils.params import LoraParams
+from . import modem
+
+QUARTER_DEN = 4  # 2.25 downchirps: 2 full + step/4 samples
+
+
+def frame_overhead_samples(params: LoraParams, preamble_len: int = 8) -> int:
+    """Samples before the payload symbols: preamble + 2 sync + 2.25 down."""
+    step = params.step
+    return (preamble_len + 2) * step + 2 * step + step // QUARTER_DEN
+
+
+def frame_modulate(symbols, params: LoraParams, preamble_len: int = 8,
+                   amplitude: float = 1.0):
+    """Build a full LoRa frame: ``preamble_len`` base upchirps, 2 sync-word
+    upchirps, 2.25 base downchirps, then payload upchirps.
+
+    [..., S] symbols -> [..., overhead + S*step] complex64.
+    """
+    symbols = jnp.asarray(symbols)
+    step = params.step
+    # preamble upchirps + sync + payload ride the lattice modulator: the
+    # preamble is just `preamble_len` zero-symbols before the sync pair.
+    zeros = jnp.zeros(symbols.shape[:-1] + (preamble_len,), jnp.int32)
+    # modulate_symbols emits [sync, sync, data...]; we need the preamble
+    # *before* the sync, so modulate zeros+payload and reorder segments.
+    body = modulate_symbols(symbols, params.sf, params.osr, params.scale,
+                            amplitude, params.sync_word)  # [..., (S+2)*step]
+    pre = modulate_symbols(zeros[..., 2:], params.sf, params.osr, params.scale,
+                           amplitude, 0x00)               # preamble upchirps
+    # one phase-continuous 2.25-symbol downchirp (no copy seams, so any
+    # fully-covered RX window dechirps to a clean single tone)
+    down_sec, _ = gen_chirp(
+        params.n, params.osr, 2 * step + step // QUARTER_DEN, 0.0,
+        down=True, ampl=amplitude, bw_scale=params.scale,
+    )
+    down_sec = jnp.broadcast_to(down_sec, symbols.shape[:-1] + down_sec.shape)
+    return jnp.concatenate(
+        [pre[..., : preamble_len * step], body[..., : 2 * step], down_sec,
+         body[..., 2 * step:]], axis=-1,
+    )
+
+
+class FrameSyncResult(NamedTuple):
+    found: bool
+    start: int            # sample index of the frame's first preamble sample
+    cfo_bins: int         # integer CFO estimate in FFT bins
+    payload_start: int    # sample index where payload symbols begin
+
+
+def frame_sync(stream, params: LoraParams, preamble_len: int = 8) -> FrameSyncResult:
+    """Locate a frame in a continuous stream (single channel, host-side
+    decision logic over device-computed detections).
+
+    Vectorized two-sided dechirp: one batched FFT over all symbol-aligned
+    windows for each of up/down dechirp, then a run-length scan for the
+    preamble's repeated bin.
+    """
+    stream = jnp.asarray(stream)
+    n, osr, step = params.n, params.osr, params.step
+    nwin = int(stream.shape[-1]) // step
+    if nwin < preamble_len + 5:
+        return FrameSyncResult(False, 0, 0, 0)
+    x = stream[..., : nwin * step].reshape(nwin, step)
+
+    down = base_downchirp(params.sf, params.scale, params.osr)
+    up = jnp.conj(down)
+    up_bins = detect((x * down).reshape(nwin, n, osr)[:, :, 0]).index
+    dn_bins = detect((x * up).reshape(nwin, n, osr)[:, :, 0]).index
+
+    ub = np.asarray(up_bins)
+    db = np.asarray(dn_bins)
+
+    def signed(b):
+        return b - n if b > n // 2 else b
+
+    # run-detect the preamble: >= preamble_len-2 consecutive equal up-bins
+    need = max(2, preamble_len - 2)
+    run = 1
+    w = 1
+    while w < nwin:
+        run = run + 1 if ub[w] == ub[w - 1] else 1
+        if run >= need:
+            # extend the run forward to its end
+            end = w
+            while end + 1 < nwin and ub[end + 1] == ub[end]:
+                end += 1
+            bin_up = signed(int(ub[end]))
+            # the 2.25-symbol downchirp section follows the 2 sync symbols;
+            # its two fully-covered windows dechirp (by up) to equal bins
+            dwin = None
+            for c in range(end + 1, min(end + 6, nwin - 1)):
+                if db[c] == db[c + 1]:
+                    dwin = c
+                    break
+            if dwin is None:
+                w = end + 1
+                continue
+            bin_dn = signed(int(db[dwin]))
+
+            # classic split: bin_up ~ cfo - tau, bin_dn ~ cfo + tau
+            tau = int(round((bin_dn - bin_up) / 2.0)) * osr
+            cfo_bins = int(round((bin_dn + bin_up) / 2.0))
+            # `end` is the last window of the equal-bin run; the frame's
+            # first preamble sample sits at the start of the run's first
+            # *full* window plus tau (tau's sign folds the partial-window
+            # ambiguity consistently — validated over offsets 0..step-1)
+            start = (end - preamble_len + 1) * step + tau
+            if start < 0:
+                w = end + 1
+                continue
+            payload_start = start + frame_overhead_samples(params, preamble_len)
+            return FrameSyncResult(True, start, cfo_bins, payload_start)
+        w += 1
+    return FrameSyncResult(False, 0, 0, 0)
+
+
+def frame_demodulate(stream, params: LoraParams, n_payload_symbols: int,
+                     preamble_len: int = 8):
+    """Sync + demodulate one frame from a continuous stream. Returns
+    (symbols [n_payload_symbols], sync_result). The payload section is
+    dechirped and routed through the working demod path with the sync
+    symbols re-attached from the stream's sync section (so the standard
+    2-symbol estimator sees the true sync chirps)."""
+    res = frame_sync(stream, params, preamble_len)
+    if not res.found:
+        return None, res
+    step = params.step
+    sync_start = res.start + preamble_len * step
+    sync_sec = stream[..., sync_start: sync_start + 2 * step]
+    payload_sec = stream[..., res.payload_start:
+                         res.payload_start + n_payload_symbols * step]
+    if payload_sec.shape[-1] < n_payload_symbols * step:
+        return None, FrameSyncResult(False, res.start, res.cfo_bins, res.payload_start)
+    window = jnp.concatenate([sync_sec, payload_sec], axis=-1)
+    dech = modem.dechirp(window, params)
+    out = modem.demodulate(dech, params)
+    return out, res
+
+
+class StreamState(NamedTuple):
+    """Carried tail between blocks — the explicit resumable state pytree
+    that replaces the reference's in-workspace implicit state."""
+
+    tail: jnp.ndarray      # [tail_len] last samples of the previous block
+    consumed: int          # absolute sample index of the start of `tail`
+
+
+class StreamDemodulator:
+    """Block-wise frame receiver over a continuous stream.
+
+    Feed arbitrary consecutive blocks; frames fully contained in
+    (tail + block) are demodulated and returned; the unconsumed tail
+    carries forward. Block size must exceed one frame length.
+    """
+
+    def __init__(self, params: LoraParams, n_payload_symbols: int,
+                 preamble_len: int = 8):
+        self.params = params
+        self.n_payload_symbols = n_payload_symbols
+        self.preamble_len = preamble_len
+        self.frame_len = (
+            frame_overhead_samples(params, preamble_len)
+            + n_payload_symbols * params.step
+        )
+
+    def init_state(self) -> StreamState:
+        return StreamState(jnp.zeros((0,), jnp.complex64), 0)
+
+    def process(self, state: StreamState, block):
+        """Returns (new_state, list of (abs_start, DemodResult))."""
+        buf = jnp.concatenate([state.tail, jnp.asarray(block)], axis=-1)
+        base = state.consumed
+        frames = []
+        offset = 0
+        while buf.shape[-1] - offset >= self.frame_len:
+            segment = buf[offset:]
+            out, res = frame_demodulate(
+                segment, self.params, self.n_payload_symbols, self.preamble_len
+            )
+            if out is None:
+                if not res.found and res.payload_start > 0:
+                    # frame detected but its payload runs past the block
+                    # end: carry everything from the frame start forward
+                    offset += res.start
+                break
+            frames.append((base + offset + res.start, out))
+            # continue scanning right after this frame's payload
+            offset += res.payload_start + self.n_payload_symbols * self.params.step
+        keep = min(buf.shape[-1] - offset, self.frame_len + self.params.step)
+        new_tail = buf[buf.shape[-1] - keep:]
+        new_state = StreamState(new_tail, base + buf.shape[-1] - keep)
+        return new_state, frames
