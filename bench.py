@@ -5,7 +5,11 @@ Workload (BASELINE.json configs[3]): 8 channels x 1024 frames of 32-byte
 payloads at SF7 BW125 osr1 -> 66 symbols x 128 samples = 8448 IQ samples
 per frame, 69.2M IQ samples per step, demodulated through the full working
 path (normalisation, 2-symbol CFO/TO estimate with deterministic
-tie-breaks, shifted gather, derotation, FFT, argmax, sync extraction).
+tie-breaks, shifted gather, derotation, MXU DFT, argmax, sync extraction).
+
+Runs the planar float32 pipeline — the TPU deployment path (this image's
+TPU PJRT implements no complex64; planar split re/im is the TPU-native
+layout regardless).
 
 Baseline: the reference's single-core C++ loop demodulates ~2.01e7 IQ
 samples/s (BASELINE.md, derived from logs/performance_run2.csv SF7 row:
@@ -18,6 +22,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -34,6 +39,7 @@ def main() -> None:
     import jax
 
     from lora_phy_tpu.models import modem
+    from lora_phy_tpu.ops import planar
     from lora_phy_tpu.utils.params import LoraParams
 
     platform = jax.default_backend()
@@ -45,43 +51,48 @@ def main() -> None:
     frame_samples = n_sym * params.step              # 8448
     channels, frames = 8, 1024
 
-    # Build a distinct pool of frames and tile it — demod cost is
-    # data-independent, generation stays cheap.
+    # Build a distinct pool of frames on CPU and tile it — demod cost is
+    # data-independent, generation stays cheap and off the bench clock.
+    cpu = jax.devices("cpu")[0]
     rng = np.random.RandomState(0)
     pool = 64
     payloads = rng.randint(0, 256, (pool, payload_len)).astype(np.uint8)
-    syms = modem.encode(payloads)
-    iq = modem.modulate(syms, params)
-    dech = np.asarray(modem.dechirp(iq, params)).astype(np.complex64)
+    with jax.default_device(cpu):
+        syms = modem.encode(payloads)
+        iq = modem.modulate(syms, params)
+        dech = np.asarray(modem.dechirp(iq, params)).astype(np.complex64)
     reps = (channels * frames) // pool
     batch = np.tile(dech, (reps, 1)).reshape(channels, frames, frame_samples)
+    xr, xi = planar.split_complex(batch)
 
-    backend = "dft" if platform != "cpu" else "xla"
+    dev = jax.devices()[0]
+    xr_d = jax.device_put(xr, dev)
+    xi_d = jax.device_put(xi, dev)
 
-    x = jax.device_put(batch)
+    fused = os.environ.get("LORA_BENCH_FUSED", "0") == "1"
 
-    def step(samples):
-        res = modem.demodulate(samples, params, backend=backend)
+    def step(r, i):
+        res = planar.demodulate_planar(r, i, params, fused=fused)
         return res.symbols, res.sync_word
 
     jstep = jax.jit(step)
 
     t0 = time.perf_counter()
-    out = jstep(x)
+    out = jstep(xr_d, xi_d)
     jax.block_until_ready(out)
     log(f"compile+first step: {time.perf_counter() - t0:.2f}s")
 
     # sanity: decoded payloads must match bit-exactly
-    decoded = np.asarray(modem.decode(np.asarray(out[0])[0, :pool]))
+    with jax.default_device(cpu):
+        decoded = np.asarray(modem.decode(np.asarray(out[0])[0, :pool]))
     assert np.array_equal(decoded, payloads), "bench demod mismatch"
     assert np.all(np.asarray(out[1]) == params.sync_word)
 
-    # warm timing
     iters = 8
-    jax.block_until_ready(jstep(x))
+    jax.block_until_ready(jstep(xr_d, xi_d))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = jstep(x)
+        out = jstep(xr_d, xi_d)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
 

@@ -199,26 +199,51 @@ def _estimate(x, n: int, osr: int, window, tie_break_idx: bool, backend: str):
     return cfo.astype(jnp.float32), time_offset.astype(jnp.float32)
 
 
+def _shifted_rows(x, t_off, step: int):
+    """Whole-row timing shift: ``y[..., j] = x[..., j + t_off]`` with zero
+    fill, as a padded per-row ``dynamic_slice``.
+
+    TPU note: an element-wise ``take_along_axis`` gather here lowers to a
+    scalar gather and runs ~35x slower than a contiguous dynamic slice
+    (measured on v5e: 1.96 s vs 55 ms for 8192x8448 f32).
+    """
+    count = x.shape[-1]
+    pad_width = [(0, 0)] * (x.ndim - 1) + [(step, step)]
+    padded = jnp.pad(x, pad_width)
+    start = (jnp.asarray(t_off, jnp.int32) + step).reshape(-1)
+    flat = padded.reshape(-1, padded.shape[-1])
+    if flat.shape[0] == 1:
+        y = jax.lax.dynamic_slice(flat[0], (start[0],), (count,))[None]
+    else:
+        y = jax.vmap(
+            lambda row, st: jax.lax.dynamic_slice(row, (st,), (count,))
+        )(flat, jnp.broadcast_to(start, (flat.shape[0],)))
+    return y.reshape(x.shape)
+
+
 def _shifted_symbol_gather(x, total_symbols: int, n: int, osr: int, t_off):
-    """Gather [..., S, N] decimated symbol windows with the reference's
-    guarded timing-offset shift (src/phy/LoRaDemod.cpp:141-149).
+    """[..., S, N] decimated symbol windows with the reference's guarded
+    per-symbol timing-offset shift (src/phy/LoRaDemod.cpp:141-149):
+    a symbol uses the shifted window only when the shift stays in range,
+    otherwise the unshifted one.
 
     ``t_off`` is an int32 with the batch's leading dims.
     """
     step = n * osr
     sample_count = total_symbols * step
-    s = jnp.arange(total_symbols, dtype=jnp.int32)
-    base = s * step                                        # [S]
+    x = x[..., :sample_count]
+    shifted = _shifted_rows(x, t_off, step)
+
+    def symview(a):
+        v = a.reshape(*a.shape[:-1], total_symbols, n, osr)
+        return v[..., 0]                                   # decimate i*osr
+
+    base = jnp.arange(total_symbols, dtype=jnp.int32) * step
     t = t_off[..., None].astype(jnp.int32)                 # [..., 1]
-    pos_ok = base + t + step <= sample_count
-    neg_ok = -t <= base
-    shifted = jnp.where(
-        (t > 0) & pos_ok, base + t, jnp.where((t < 0) & neg_ok, base + t, base)
+    use_shift = ((t > 0) & (base + t + step <= sample_count)) | (
+        (t < 0) & (-t <= base)
     )                                                      # [..., S]
-    gidx = shifted[..., None] + (jnp.arange(n, dtype=jnp.int32) * osr)
-    flat = gidx.reshape(*gidx.shape[:-2], total_symbols * n)
-    vals = jnp.take_along_axis(x, jnp.clip(flat, 0, sample_count - 1), axis=-1)
-    return vals.reshape(*vals.shape[:-1], total_symbols, n)
+    return jnp.where(use_shift[..., None], symview(shifted), symview(x))
 
 
 def _sync_from_symbols(idx0, idx1, sf: int):

@@ -58,14 +58,18 @@ def _split(n: int) -> tuple[int, int]:
 
 @functools.lru_cache(maxsize=16)
 def _dft_mats(n: int):
-    """(W1 [n1,n1], W2 [n2,n2], twiddle [n1,n2]) as complex64 constants."""
+    """(W1 [n1,n1], W2 [n2,n2], twiddle [n1,n2]) complex64 NumPy constants.
+
+    NumPy (not jnp) on purpose: the cache must never capture arrays created
+    under a jit trace (tracer leak); conversion happens at the use site.
+    """
     n1, n2 = _split(n)
     k1 = np.arange(n1)
     k2 = np.arange(n2)
     w1 = np.exp(-2j * np.pi * np.outer(k1, k1) / n1).astype(np.complex64)
     w2 = np.exp(-2j * np.pi * np.outer(k2, k2) / n2).astype(np.complex64)
     tw = np.exp(-2j * np.pi * np.outer(k1, k2) / n).astype(np.complex64)
-    return jnp.asarray(w1), jnp.asarray(w2), jnp.asarray(tw), n1, n2
+    return w1, w2, tw, n1, n2
 
 
 def fft_dft_matmul(x):
@@ -83,7 +87,8 @@ def fft_dft_matmul(x):
         k = np.arange(n)
         w = jnp.asarray(np.exp(-2j * np.pi * np.outer(k, k) / n).astype(np.complex64))
         return _cmatmul(x, w.T)
-    w1, w2, tw, n1, n2 = _dft_mats(n)
+    w1np, w2np, twnp, n1, n2 = _dft_mats(n)
+    w1, w2, tw = jnp.asarray(w1np), jnp.asarray(w2np), jnp.asarray(twnp)
     lead = x.shape[:-1]
     xm = x.reshape(*lead, n2, n1)                    # x[i2, i1]
     inner = _cmatmul(xm.swapaxes(-1, -2), w2.T)      # [.., i1, k2] = sum_i2 x[i2,i1] W2[k2,i2]
