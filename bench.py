@@ -61,13 +61,21 @@ def main() -> None:
         syms = modem.encode(payloads)
         iq = modem.modulate(syms, params)
         dech = np.asarray(modem.dechirp(iq, params)).astype(np.complex64)
-    reps = (channels * frames) // pool
-    batch = np.tile(dech, (reps, 1)).reshape(channels, frames, frame_samples)
-    xr, xi = planar.split_complex(batch)
+    xr_pool, xi_pool = planar.split_complex(dech)     # [pool, frame_samples]
 
     dev = jax.devices()[0]
-    xr_d = jax.device_put(xr, dev)
-    xi_d = jax.device_put(xi, dev)
+    # upload only the small pool (the relayed h2d path here is slow);
+    # materialize the full batch on-device with a jitted tile
+    import jax.numpy as jnp
+
+    reps = (channels * frames) // pool
+
+    @jax.jit
+    def expand(a):
+        return jnp.tile(a, (reps, 1)).reshape(channels, frames, frame_samples)
+
+    xr_d = expand(jax.device_put(xr_pool, dev))
+    xi_d = expand(jax.device_put(xi_pool, dev))
 
     fused = os.environ.get("LORA_BENCH_FUSED", "0") == "1"
 

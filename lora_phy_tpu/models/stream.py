@@ -165,6 +165,14 @@ def frame_demodulate(stream, params: LoraParams, n_payload_symbols: int,
     if payload_sec.shape[-1] < n_payload_symbols * step:
         return None, FrameSyncResult(False, res.start, res.cfo_bins, res.payload_start)
     window = jnp.concatenate([sync_sec, payload_sec], axis=-1)
+    if res.cfo_bins != 0:
+        # undo the integer-bin CFO found by the two-sided sync (the inner
+        # demodulator's 2-symbol estimator only pulls in fractional bins)
+        import math
+
+        idx = jnp.arange(window.shape[-1], dtype=jnp.float32)
+        ph = (-2.0 * math.pi * res.cfo_bins / step) * idx
+        window = window * jnp.exp(1j * ph.astype(jnp.float32))
     dech = modem.dechirp(window, params)
     out = modem.demodulate(dech, params)
     return out, res
@@ -223,3 +231,23 @@ class StreamDemodulator:
         new_tail = buf[buf.shape[-1] - keep:]
         new_state = StreamState(new_tail, base + buf.shape[-1] - keep)
         return new_state, frames
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / resume (SURVEY.md §5.4: the reference has none; the stream
+# carry state here is an explicit pytree, so block-wise processing is
+# resumable and shardable)
+# ---------------------------------------------------------------------------
+
+def save_state(state: StreamState, path) -> None:
+    """Persist a stream carry state (tail samples + absolute position)."""
+    tail = np.asarray(state.tail)
+    np.savez(path, tail_re=tail.real.astype(np.float32),
+             tail_im=tail.imag.astype(np.float32),
+             consumed=np.int64(state.consumed))
+
+
+def load_state(path) -> StreamState:
+    z = np.load(path)
+    tail = (z["tail_re"] + 1j * z["tail_im"]).astype(np.complex64)
+    return StreamState(jnp.asarray(tail), int(z["consumed"]))

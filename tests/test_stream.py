@@ -111,3 +111,60 @@ def test_stream_demodulator_blocks():
             np.asarray(out.symbols), len(expect), cfg
         )
         np.testing.assert_array_equal(np.asarray(dec), expect)
+
+
+def test_state_checkpoint_resume(tmp_path):
+    """Processing with a save/load mid-stream equals uninterrupted
+    processing (checkpoint/resume of the carry pytree)."""
+    p = LoraParams(sf=7)
+    cfg = CodedConfig(sf=7, cr=1)
+    payload = np.arange(9, dtype=np.uint8)
+    syms = coded.encode_payload(payload, cfg)
+    iq = np.asarray(stream.frame_modulate(syms.astype(np.uint16), p))
+    sig = np.concatenate([
+        np.zeros(301, np.complex64), iq, np.zeros(2 * p.step, np.complex64),
+        np.zeros(150, np.complex64), iq, np.zeros(2 * p.step, np.complex64),
+    ])
+
+    sd = stream.StreamDemodulator(p, syms.shape[-1])
+    block = 2 * sd.frame_len
+
+    # uninterrupted
+    state = sd.init_state()
+    ref_frames = []
+    for i in range(0, len(sig), block):
+        state, got = sd.process(state, sig[i:i + block])
+        ref_frames.extend(got)
+
+    # with checkpoint/resume after the first block
+    state = sd.init_state()
+    state, frames_a = sd.process(state, sig[:block])
+    ckpt = tmp_path / "stream_state.npz"
+    stream.save_state(state, ckpt)
+    state2 = stream.load_state(ckpt)
+    frames_b = list(frames_a)
+    for i in range(block, len(sig), block):
+        state2, got = sd.process(state2, sig[i:i + block])
+        frames_b.extend(got)
+
+    assert len(ref_frames) == len(frames_b) == 2
+    for (s1, o1), (s2, o2) in zip(ref_frames, frames_b):
+        assert s1 == s2
+        np.testing.assert_array_equal(np.asarray(o1.symbols), np.asarray(o2.symbols))
+
+
+def test_frame_demodulate_with_integer_cfo():
+    """Integer-bin CFO is detected by the two-sided sync and compensated
+    before demodulation; the payload decodes."""
+    p = LoraParams(sf=7)
+    cfg = CodedConfig(sf=7, cr=2)
+    payload = np.frombuffer(b"frame one", dtype=np.uint8)
+    syms, iq = _frame(p, payload, cfg)
+    sig = np.concatenate([np.zeros(777, np.complex64), iq,
+                          np.zeros(1000, np.complex64)])
+    sig = np.asarray(apply_cfo_continuous(sig, 2.0, p.n, p.osr))
+    out, res = stream.frame_demodulate(sig, p, syms.shape[-1])
+    assert res.found and res.cfo_bins == 2
+    dec, crc_ok, _ = coded.decode_payload(np.asarray(out.symbols), len(payload), cfg)
+    np.testing.assert_array_equal(np.asarray(dec), payload)
+    assert bool(np.all(np.asarray(crc_ok)))
