@@ -191,3 +191,26 @@ def test_gr_lora_sdr_interop(reference_dir):
     assert int(res.sync_word) == 0x29
     decoded = np.asarray(modem.decode(np.asarray(res.symbols)))
     np.testing.assert_array_equal(decoded[:5], [0xBE, 0xE7, 0x82, 0x75, 0xE0])
+
+
+def test_gr_lora_sdr_capture_blind_decode(reference_dir):
+    """Full blind decode of the real gr-lora_sdr over-the-air capture
+    (267k samples, vectors_binary/bw_125k_sf_7_cr_1_ldro_false_crc_true_
+    implheader_false.unknown): frame sync + header + payload recover
+    b"hello world: 0" — further than the reference's own capture-forensics
+    scripts got (their decoded_message.bin is garbage)."""
+    from lora_phy_tpu.models import gr_interop
+    from lora_phy_tpu.utils.iqio import read_iq
+
+    path = (reference_dir / "vectors_binary" /
+            "bw_125k_sf_7_cr_1_ldro_false_crc_true_implheader_false.unknown")
+    if not path.exists():
+        pytest.skip("capture missing")
+    cap = read_iq(path)
+    frame = gr_interop.decode_frame(cap, LoraParams(sf=7, osr=2))
+    assert frame is not None
+    assert frame.header_ok
+    assert (frame.length, frame.cr, frame.has_crc) == (14, 1, True)
+    assert frame.payload == b"hello world: 0"
+    assert frame.fec_errors == 0
+    assert frame.cfo_bins == 0
