@@ -51,7 +51,10 @@ def _kernel(aux_ref, xr_ref, xi_ref, wr_ref, wi_ref, out_ref):
     n = xr_ref.shape[-1]
     start = aux_ref[:, 0:1]                           # [TB, 1]
     rate = aux_ref[:, 1:2]
-    col = jax.lax.broadcasted_iota(jnp.float32, (aux_ref.shape[0], n), 1)
+    # Mosaic iota must be integer-typed; cast to float after
+    col = jax.lax.broadcasted_iota(
+        jnp.int32, (aux_ref.shape[0], n), 1
+    ).astype(jnp.float32)
     ph = start + rate * col
     c = jnp.cos(ph)
     s = jnp.sin(ph)

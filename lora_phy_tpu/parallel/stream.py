@@ -91,22 +91,35 @@ def _stream_demod_local(x_local, params: LoraParams, backend: str,
     t_off = _round_half_away(time_offset).astype(jnp.int32)
     rate = (-jnp.float32(_TWO_PI) * cfo / jnp.float32(n)).astype(jnp.float32)
 
-    # --- shifted symbol gather into the extended (haloed) buffer ----------
+    # --- shifted symbol windows from the extended (haloed) buffer ---------
+    # contiguous per-row dynamic slices instead of element gathers (the
+    # same 35x TPU consideration as modem._shifted_rows)
     total = t_size * L                      # global stream length
+
+    def slice_rows(offset):
+        """ext[..., offset : offset+L] with per-channel traced offset."""
+        flat_ext = ext.reshape(-1, ext.shape[-1])
+        off = jnp.broadcast_to(jnp.asarray(offset, jnp.int32).reshape(-1),
+                               (flat_ext.shape[0],))
+        rows = jax.vmap(
+            lambda row, st: jax.lax.dynamic_slice(row, (st,), (L,))
+        )(flat_ext, off)
+        return rows.reshape(*ext.shape[:-1], L)
+
+    def symview(a):
+        v = a.reshape(*a.shape[:-1], s_per_block, n, osr)
+        return v[..., 0]
+
+    base_view = ext[..., halo: halo + L]
+    shift_view = slice_rows(jnp.clip(t_off + halo, 0, 2 * halo))
+
     s_local = jnp.arange(s_per_block, dtype=jnp.int32)
     g_base = t_idx.astype(jnp.int32) * L + s_local * step   # global base
     t = t_off[..., None]
-    pos_ok = g_base + t + step <= total
-    neg_ok = -t <= g_base
-    shifted = jnp.where(
-        (t > 0) & pos_ok, g_base + t, jnp.where((t < 0) & neg_ok, g_base + t, g_base)
+    use_shift = ((t > 0) & (g_base + t + step <= total)) | (
+        (t < 0) & (-t <= g_base)
     )
-    local_base = shifted - t_idx.astype(jnp.int32) * L + halo  # index into ext
-    gidx = local_base[..., None] + (jnp.arange(n, dtype=jnp.int32) * osr)
-    flat = gidx.reshape(*gidx.shape[:-2], s_per_block * n)
-    sym = jnp.take_along_axis(
-        ext, jnp.clip(flat, 0, ext.shape[-1] - 1), axis=-1
-    ).reshape(*ext.shape[:-1], s_per_block, n)
+    sym = jnp.where(use_shift[..., None], symview(shift_view), symview(base_view))
 
     # --- CFO derotation at global symbol index ----------------------------
     s_global = (t_idx.astype(jnp.float32) * s_per_block

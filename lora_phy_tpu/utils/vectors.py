@@ -37,3 +37,23 @@ def load_binary_vectors(path) -> list[VectorRecord]:
             extra = lp()
             records.append(VectorRecord(test_type, payload, sf, cr, extra))
     return records
+
+
+def write_binary_vectors(path, records) -> None:
+    """Writer for the same record format (inverse of
+    :func:`load_binary_vectors`), used by the comprehensive vector
+    generator (reference: runners/comprehensive_vector_generate.cpp:46-105)."""
+    with open(path, "wb") as f:
+        f.write(struct.pack("<I", len(records)))
+        for rec in records:
+            tt = rec.test_type.encode("utf-8")
+            f.write(struct.pack("<I", len(tt)))
+            f.write(tt)
+            f.write(struct.pack("<I", len(rec.payload)))
+            f.write(rec.payload)
+            f.write(struct.pack("<I", rec.spread_factor))
+            cr = rec.coding_rate.encode("utf-8")
+            f.write(struct.pack("<I", len(cr)))
+            f.write(cr)
+            f.write(struct.pack("<I", len(rec.extra)))
+            f.write(rec.extra)

@@ -123,3 +123,26 @@ def test_iqio_stdin_stdout_format(tmp_path):
     np.testing.assert_array_equal(raw[1::2], x.imag)
     back = read_iq(path)
     np.testing.assert_array_equal(back, x)
+
+
+def test_comprehensive_vector_generate(tmp_path):
+    from lora_phy_tpu.runners import comprehensive_vector_generate
+    from lora_phy_tpu.utils.vectors import load_binary_vectors
+    from lora_phy_tpu.ops import coding
+    import numpy as np
+
+    out = tmp_path / "cv"
+    assert comprehensive_vector_generate.main([f"--out={out}"]) == 0
+    ham = load_binary_vectors(out / "hamming_tests.bin")
+    assert len(ham) == 16 * 9  # 16 nibbles x (clean + 8 single-bit flips)
+    for rec in ham:
+        nib, err, bad = coding.hamming84_decode(np.frombuffer(rec.extra, np.uint8))
+        assert int(np.asarray(nib)[0]) == rec.payload[0]
+        assert (rec.test_type == "single_error") == bool(np.asarray(err)[0])
+    mod = load_binary_vectors(out / "modulation_tests.bin")
+    assert len(mod) == 30
+    for rec in mod[:5]:
+        syms = np.frombuffer(rec.extra, "<u2")
+        from lora_phy_tpu.models import modem
+        decoded = np.asarray(modem.decode(syms))
+        assert decoded.tobytes() == rec.payload
