@@ -227,23 +227,31 @@ def _shifted_symbol_gather(x, total_symbols: int, n: int, osr: int, t_off):
     a symbol uses the shifted window only when the shift stays in range,
     otherwise the unshifted one.
 
-    ``t_off`` is an int32 with the batch's leading dims.
+    ``t_off`` is an int32 with the batch's leading dims. When every frame
+    in the batch has a zero offset (the common steady-state case) the
+    whole-row shift copy is skipped via ``lax.cond``.
     """
     step = n * osr
     sample_count = total_symbols * step
     x = x[..., :sample_count]
-    shifted = _shifted_rows(x, t_off, step)
 
     def symview(a):
         v = a.reshape(*a.shape[:-1], total_symbols, n, osr)
         return v[..., 0]                                   # decimate i*osr
 
-    base = jnp.arange(total_symbols, dtype=jnp.int32) * step
-    t = t_off[..., None].astype(jnp.int32)                 # [..., 1]
-    use_shift = ((t > 0) & (base + t + step <= sample_count)) | (
-        (t < 0) & (-t <= base)
-    )                                                      # [..., S]
-    return jnp.where(use_shift[..., None], symview(shifted), symview(x))
+    def no_shift(x):
+        return symview(x)
+
+    def with_shift(x):
+        shifted = _shifted_rows(x, t_off, step)
+        base = jnp.arange(total_symbols, dtype=jnp.int32) * step
+        t = t_off[..., None].astype(jnp.int32)             # [..., 1]
+        use_shift = ((t > 0) & (base + t + step <= sample_count)) | (
+            (t < 0) & (-t <= base)
+        )                                                  # [..., S]
+        return jnp.where(use_shift[..., None], symview(shifted), symview(x))
+
+    return jax.lax.cond(jnp.all(t_off == 0), no_shift, with_shift, x)
 
 
 def _sync_from_symbols(idx0, idx1, sf: int):

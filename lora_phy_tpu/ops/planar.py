@@ -36,19 +36,28 @@ class PlanarDemodResult(NamedTuple):
     time_offset: jnp.ndarray
 
 
-def _mm(a, b):
+def _mm(a, b, mxu_dtype=None):
+    if mxu_dtype is not None:
+        a = a.astype(mxu_dtype)
+        b = b.astype(mxu_dtype)
     return jnp.matmul(a, b, preferred_element_type=jnp.float32)
 
 
-def dft_planar(xr, xi, n: int):
+def dft_planar(xr, xi, n: int, mxu_dtype=None):
     """Planar DFT over the last axis: four real matmuls (N <= 128) or the
-    four-step factorisation (N up to 4096), MXU-shaped."""
+    four-step factorisation (N up to 4096), MXU-shaped.
+
+    ``mxu_dtype=jnp.bfloat16`` runs the matmuls at bf16 input precision
+    (f32 accumulate) — ~4x MXU rate on v5e; detection decisions are
+    robust to the mantissa loss at practical SNRs (opt-in)."""
+    from functools import partial as _partial
+    _mmd = _partial(_mm, mxu_dtype=mxu_dtype)
     if n <= 128:
         k = np.arange(n)
         wr = jnp.asarray(np.cos(2 * np.pi * np.outer(k, k) / n).astype(np.float32))
         wi = jnp.asarray((-np.sin(2 * np.pi * np.outer(k, k) / n)).astype(np.float32))
-        yr = _mm(xr, wr) - _mm(xi, wi)
-        yi = _mm(xr, wi) + _mm(xi, wr)
+        yr = _mmd(xr, wr) - _mmd(xi, wi)
+        yi = _mmd(xr, wi) + _mmd(xi, wr)
         return yr, yi
     w1, w2, tw, n1, n2 = _dft_mats(n)
     w1r = jnp.asarray(w1.real.copy())
@@ -60,14 +69,14 @@ def dft_planar(xr, xi, n: int):
     lead = xr.shape[:-1]
     xr_m = xr.reshape(*lead, n2, n1).swapaxes(-1, -2)   # [.., n1, n2]
     xi_m = xi.reshape(*lead, n2, n1).swapaxes(-1, -2)
-    ar = _mm(xr_m, w2r.T) - _mm(xi_m, w2i.T)            # inner DFT (n2)
-    ai = _mm(xr_m, w2i.T) + _mm(xi_m, w2r.T)
+    ar = _mmd(xr_m, w2r.T) - _mmd(xi_m, w2i.T)          # inner DFT (n2)
+    ai = _mmd(xr_m, w2i.T) + _mmd(xi_m, w2r.T)
     br = ar * twr - ai * twi                            # twiddle
     bi = ar * twi + ai * twr
     br_t = br.swapaxes(-1, -2)                          # [.., n2(k2), n1(i1)]
     bi_t = bi.swapaxes(-1, -2)
-    cr = _mm(br_t, w1r.T) - _mm(bi_t, w1i.T)            # outer DFT (n1)
-    ci = _mm(br_t, w1i.T) + _mm(bi_t, w1r.T)
+    cr = _mmd(br_t, w1r.T) - _mmd(bi_t, w1i.T)          # outer DFT (n1)
+    ci = _mmd(br_t, w1i.T) + _mmd(bi_t, w1r.T)
     return (cr.swapaxes(-1, -2).reshape(*lead, n),
             ci.swapaxes(-1, -2).reshape(*lead, n))
 
@@ -80,10 +89,10 @@ class PlanarDetection(NamedTuple):
     peak_im: jnp.ndarray
 
 
-def detect_planar(xr, xi, n: int) -> PlanarDetection:
+def detect_planar(xr, xi, n: int, mxu_dtype=None) -> PlanarDetection:
     """Planar twin of ops.detect.detect (same argmax/tie-break/fIndex
     semantics, LoRaDetector.hpp:39-74)."""
-    sr, si = dft_planar(xr, xi, n)
+    sr, si = dft_planar(xr, xi, n, mxu_dtype=mxu_dtype)
     mag2 = sr * sr + si * si
     index = jnp.argmax(mag2, axis=-1).astype(jnp.int32)
     ix = index[..., None]
@@ -160,23 +169,32 @@ def _estimate_planar(xr, xi, n: int, osr: int, window):
     return cfo.astype(jnp.float32), time_offset.astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("params", "fused"))
-def demodulate_planar(xr, xi, params: LoraParams, fused: bool = False
-                      ) -> PlanarDemodResult:
+@partial(jax.jit, static_argnames=("params", "fused", "assume_normalized",
+                                   "precision"))
+def demodulate_planar(xr, xi, params: LoraParams, fused: bool = False,
+                      assume_normalized: bool = False,
+                      precision: str = "f32") -> PlanarDemodResult:
     """Planar twin of models.modem.demodulate (the working dechirped-input
-    contract). ``xr, xi``: [..., S_total*step] float32. ``fused=True``
-    routes the per-symbol stage through the Pallas mega-kernel."""
+    contract). ``xr, xi``: [..., S_total*step] float32.
+
+    ``fused=True`` routes the per-symbol stage through the Pallas
+    mega-kernel. ``assume_normalized=True`` skips the [-1,1] rescale scan
+    for pipelines that guarantee canonical amplitudes (saves one full
+    input pass). ``precision='bf16'`` runs the DFT matmuls at bf16 input
+    precision (f32 accumulate)."""
     n, osr, step = params.n, params.osr, params.step
+    mxu_dtype = jnp.bfloat16 if precision == "bf16" else None
     total_symbols = xr.shape[-1] // step
     xr = xr[..., : total_symbols * step]
     xi = xi[..., : total_symbols * step]
 
-    max_amp = jnp.maximum(
-        jnp.max(jnp.abs(xr), axis=-1), jnp.max(jnp.abs(xi), axis=-1)
-    )
-    scale = jnp.where(max_amp > 1.0, 1.0 / max_amp, 1.0).astype(jnp.float32)
-    xr = xr * scale[..., None]
-    xi = xi * scale[..., None]
+    if not assume_normalized:
+        max_amp = jnp.maximum(
+            jnp.max(jnp.abs(xr), axis=-1), jnp.max(jnp.abs(xi), axis=-1)
+        )
+        scale = jnp.where(max_amp > 1.0, 1.0 / max_amp, 1.0).astype(jnp.float32)
+        xr = xr * scale[..., None]
+        xi = xi * scale[..., None]
 
     window = _window_table(params)
     cfo, time_offset = _estimate_planar(
@@ -210,7 +228,7 @@ def demodulate_planar(xr, xi, params: LoraParams, fused: bool = False
         if window is not None:
             w = jnp.asarray(window)
             fr, fi = fr * w, fi * w
-        det = detect_planar(fr, fi, n)
+        det = detect_planar(fr, fi, n, mxu_dtype=mxu_dtype)
         syms = det.index
 
     syms = syms.astype(jnp.uint16)

@@ -87,3 +87,16 @@ def test_dft_planar_matches_numpy(n):
     ref = np.fft.fft(x)
     got = np.asarray(yr) + 1j * np.asarray(yi)
     np.testing.assert_allclose(got, ref, atol=2e-2 * np.sqrt(n))
+
+
+def test_planar_knobs_equivalent():
+    """assume_normalized and bf16 precision keep symbol decisions exact on
+    clean loopback (bf16 accuracy is opt-in; gated here at high SNR)."""
+    p = LoraParams(sf=7)
+    payloads, dech = _case(p, payload_len=16)
+    xr, xi = planar.split_complex(dech)
+    ref = planar.demodulate_planar(xr, xi, p)
+    fast = planar.demodulate_planar(xr, xi, p, assume_normalized=True,
+                                    precision="bf16")
+    np.testing.assert_array_equal(np.asarray(fast.symbols), np.asarray(ref.symbols))
+    assert int(fast.sync_word) == int(ref.sync_word)
