@@ -116,6 +116,40 @@ def main() -> None:
         f"-> {sps/1e9:.3f} Gsamples/s ({sps/BASELINE_IQ_SAMPLES_PER_S:.0f}x baseline)"
     )
 
+    # secondary: SF12 (N=4096, four-step DFT path), stderr only
+    try:
+        p12 = LoraParams(sf=12)
+        with jax.default_device(cpu):
+            s12 = modem.encode(payloads[:4])
+            d12 = np.asarray(
+                modem.dechirp(modem.modulate(s12, p12), p12)
+            ).astype(np.complex64)
+        r12, i12 = planar.split_complex(d12)
+        reps12 = 64
+
+        @jax.jit
+        def expand12(a):
+            return jnp.tile(a, (reps12, 1))
+
+        xr12 = expand12(jax.device_put(r12, dev))
+        xi12 = expand12(jax.device_put(i12, dev))
+        j12 = jax.jit(lambda r, i: planar.demodulate_planar(r, i, p12).symbols)
+        np.asarray(j12(xr12, xi12)[0, :2])
+        t0 = time.perf_counter()
+        for _ in range(4):
+            o12 = j12(xr12, xi12)
+            np.asarray(o12[0, :2])
+        dt12 = (time.perf_counter() - t0) / 4
+        n12 = xr12.shape[0] * xr12.shape[1]
+        base12 = 65.8583 * 66 * 4096      # reference SF12 row, BASELINE.md
+        log(
+            f"secondary SF12: {n12/1e6:.1f}M samples in {dt12*1e3:.1f} ms "
+            f"-> {n12/dt12/1e9:.3f} Gsamples/s "
+            f"({n12/dt12/base12:.0f}x reference SF12)"
+        )
+    except Exception as e:  # secondary metric must never break the bench
+        log(f"secondary SF12 skipped: {e}")
+
     print(json.dumps({
         "metric": "demod_iq_throughput_sf7",
         "value": round(sps, 0),
