@@ -50,14 +50,29 @@ def whiten_gr_lora(data):
     return data ^ _gr_whitening_seq(max(255, data.shape[-1]))[: data.shape[-1]]
 
 
+def crc16_gr_lora(payload: bytes) -> int:
+    """gr-lora_sdr payload CRC: CRC16-CCITT (poly 0x1021, init 0) over
+    ``payload[:-2]``, then XOR with the last two payload bytes
+    (``^ payload[-1] ^ (payload[-2] << 8)``). Identified by matching the
+    reference capture's trailer (0xd411 for b"hello world: 0")."""
+    crc = 0
+    for b in payload[:-2]:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x1021) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    if len(payload) >= 2:
+        crc ^= payload[-1] | (payload[-2] << 8)
+    return crc
+
+
 @dataclasses.dataclass
 class GrFrame:
     payload: bytes
     length: int
     cr: int                # 1..4 -> 4/5..4/8
     has_crc: bool
-    crc_bytes: bytes       # raw trailer (verification convention differs
-                           # from the SX1272 CRC; kept for inspection)
+    crc_bytes: bytes       # raw trailer
+    crc_ok: bool           # trailer == crc16_gr_lora(payload)
     header_ok: bool
     fec_errors: int
     start: int
@@ -99,7 +114,7 @@ def decode_frame(samples, params: LoraParams, preamble_len: int = 8):
     h = np.array([length & 0xFF, flags & 0x0F], dtype=np.uint8)
     header_ok = chk == int(np.asarray(coding.header_checksum(h)))
     if cr < 1 or cr > 4 or length == 0:
-        return GrFrame(b"", length, cr, has_crc, b"", header_ok, 0,
+        return GrFrame(b"", length, cr, has_crc, b"", False, header_ok, 0,
                        res.start, res.cfo_bins)
 
     # --- payload: full rate, PPM = sf, RDD = cr --------------------------
@@ -129,5 +144,64 @@ def decode_frame(samples, params: LoraParams, preamble_len: int = 8):
     data = np.asarray(coding.nibbles_to_bytes(swapped))
     payload = whiten_gr_lora(data[:length]).tobytes()
     crc_bytes = data[length:total_bytes].tobytes() if has_crc else b""
-    return GrFrame(payload, length, cr, has_crc, crc_bytes, header_ok,
-                   fec_errors, res.start, res.cfo_bins)
+    crc_ok = bool(
+        has_crc and len(crc_bytes) == 2
+        and (crc_bytes[0] | (crc_bytes[1] << 8)) == crc16_gr_lora(payload)
+    )
+    return GrFrame(payload, length, cr, has_crc, crc_bytes, crc_ok,
+                   header_ok, fec_errors, res.start, res.cfo_bins)
+
+
+def encode_frame(payload: bytes, params: LoraParams, cr: int = 1,
+                 crc: bool = True, preamble_len: int = 8):
+    """Build a gr-lora_sdr-convention frame for ``payload``: the exact
+    inverse of :func:`decode_frame` (header block at PPM=sf-2/CR4/8,
+    payload whitened with the gr LFSR, low-high nibble order, Gray +1 bin
+    mapping), wrapped in the standard preamble/sync/2.25-downchirp frame.
+
+    Returns complex64 IQ samples.
+    """
+    sf = params.sf
+    n = params.n
+    length = len(payload)
+
+    # --- header block ----------------------------------------------------
+    flags = ((cr & 0x7) << 1) | int(crc)
+    h = np.array([length & 0xFF, flags & 0x0F], dtype=np.uint8)
+    chk = int(np.asarray(coding.header_checksum(h)))
+    hnib = np.zeros(sf - 2, dtype=np.uint8)
+    hnib[:5] = [length >> 4, length & 0xF, flags & 0xF, (chk >> 4) & 0x1,
+                chk & 0xF]
+    hcw = np.asarray(coding.hamming84_encode(hnib))
+    hw = np.asarray(coding.diagonal_interleave(hcw, sf - 2, 4))
+    hbins = (np.asarray(coding.gray_to_binary(hw.astype(np.uint16))) << 2) % n
+
+    # --- payload block(s) ------------------------------------------------
+    data = np.frombuffer(payload, dtype=np.uint8)
+    if crc:
+        c = crc16_gr_lora(payload)
+        trailer = np.array([c & 0xFF, c >> 8], dtype=np.uint8)
+    else:
+        trailer = np.zeros(0, np.uint8)
+    whitened = whiten_gr_lora(data)
+    framed = np.concatenate([whitened, trailer])
+    nibbles = np.asarray(coding.bytes_to_nibbles(framed))
+    # gr nibble order: low then high
+    nibbles = nibbles.reshape(-1, 2)[:, ::-1].reshape(-1)
+    blocks = -(-len(nibbles) // sf)
+    pad = blocks * sf - len(nibbles)
+    if pad:
+        nibbles = np.concatenate([nibbles, np.zeros(pad, np.uint8)])
+    if cr == 1:
+        cw = coding.parity54_encode(nibbles)
+    elif cr == 2:
+        cw = coding.parity64_encode(nibbles)
+    elif cr == 3:
+        cw = coding.hamming74_encode(nibbles)
+    else:
+        cw = coding.hamming84_encode(nibbles)
+    w = np.asarray(coding.diagonal_interleave(np.asarray(cw), sf, cr))
+    pbins = (np.asarray(coding.gray_to_binary(w.astype(np.uint16))) + 1) % n
+
+    symbols = np.concatenate([hbins, pbins]).astype(np.uint16)
+    return stream.frame_modulate(symbols, params, preamble_len=preamble_len)

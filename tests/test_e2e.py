@@ -212,5 +212,25 @@ def test_gr_lora_sdr_capture_blind_decode(reference_dir):
     assert frame.header_ok
     assert (frame.length, frame.cr, frame.has_crc) == (14, 1, True)
     assert frame.payload == b"hello world: 0"
+    assert frame.crc_ok       # gr CRC convention verified against trailer
     assert frame.fec_errors == 0
     assert frame.cfo_bins == 0
+
+
+def test_gr_interop_tx_rx_roundtrip():
+    """Our gr-convention TX -> our gr RX: full bidirectional interop,
+    CRC verified, across coding rates."""
+    from lora_phy_tpu.models import gr_interop
+
+    for cr in (1, 2, 3, 4):
+        p = LoraParams(sf=7)
+        payload = b"gr interop \x00\xff!"
+        iq = np.asarray(gr_interop.encode_frame(payload, p, cr=cr))
+        sig = np.concatenate([np.zeros(200, np.complex64), iq,
+                              np.zeros(3 * p.step, np.complex64)])
+        frame = gr_interop.decode_frame(sig, p)
+        assert frame is not None and frame.header_ok
+        assert frame.cr == cr and frame.length == len(payload)
+        assert frame.payload == payload
+        assert frame.crc_ok
+        assert frame.fec_errors == 0
