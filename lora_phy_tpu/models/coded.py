@@ -25,13 +25,10 @@ the standard low-data-rate robustness trade.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops import coding
-from ..utils.params import LoraParams
 
 _CR_WIDTH = {1: 5, 2: 6, 3: 7, 4: 8}
 

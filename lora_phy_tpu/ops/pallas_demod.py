@@ -20,7 +20,6 @@ strict ``>`` scan (LoRaDetector.hpp:52-57).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ import numpy as np
 
 from ..utils.params import LoraParams
 from ..models.modem import _round_half_away, _window_table
-from .fft import _dft_mats, _split
+from .fft import _dft_mats
 
 _TWO_PI = 2.0 * math.pi
 

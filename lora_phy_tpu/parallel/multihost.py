@@ -19,7 +19,7 @@ import jax
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .mesh import CHANNEL_AXIS, TIME_AXIS, make_mesh
+from .mesh import CHANNEL_AXIS, TIME_AXIS
 
 
 def initialize(coordinator_address: str | None = None,

@@ -32,16 +32,28 @@ def run_profile(params: LoraParams, packets: int, payload_len: int = 32):
 
     rng = np.random.RandomState(0)
     payloads = rng.randint(0, 256, (packets, payload_len)).astype(np.uint8)
-    syms = modem.encode(payloads)
-    iq = modem.modulate(syms, params)
-    dech = np.asarray(modem.dechirp(iq, params))
+    # signal generation on CPU (some TPU PJRTs lack complex64); only the
+    # planar demod rides the accelerator
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = jax.devices()[0]
+    with jax.default_device(cpu):
+        syms = modem.encode(payloads)
+        iq = modem.modulate(syms, params)
+        dech = np.asarray(modem.dechirp(iq, params))
     xr, xi = planar.split_complex(dech)
-    xr_d, xi_d = jax.device_put(xr), jax.device_put(xi)
+    xr_d, xi_d = jax.device_put(xr, jax.devices()[0]), jax.device_put(xi, jax.devices()[0])
 
     step = jax.jit(
         lambda r, i: planar.demodulate_planar(r, i, params).symbols
     )
     np.asarray(step(xr_d, xi_d)[0, :2])       # compile + completion barrier
+    # sanity: decoded payloads must match
+    first = np.asarray(step(xr_d, xi_d)[:4])
+    with jax.default_device(cpu):
+        decoded = np.asarray(modem.decode(first))
+    assert np.array_equal(decoded, payloads[:4]), "perf harness demod mismatch"
     iters = 4
     t0 = time.perf_counter()
     for _ in range(iters):

@@ -4,7 +4,6 @@ tests/gr_lora_sdr_interop.cpp:8-19)."""
 
 from __future__ import annotations
 
-import pathlib
 import sys
 
 import numpy as np
