@@ -146,3 +146,20 @@ def test_comprehensive_vector_generate(tmp_path):
         from lora_phy_tpu.models import modem
         decoded = np.asarray(modem.decode(syms))
         assert decoded.tobytes() == rec.payload
+
+
+def test_perf_harness_smoke(tmp_path, monkeypatch):
+    """perf_test produces a compare_perf-compatible CSV (tiny CPU run)."""
+    import os
+    from lora_phy_tpu.runners import perf_test
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("RUN_ID", "smoke")
+    assert perf_test.main(["--packets=8", "--payload-bytes=8"]) == 0
+    csv_path = tmp_path / "logs" / "performance_smoke.csv"
+    lines = csv_path.read_text().strip().splitlines()
+    assert lines[0] == "run_id,profile,sf,N,pps,us_per_symbol"
+    assert len(lines) == 4  # 3 default profiles
+    for row in lines[1:]:
+        pps = float(row.split(",")[4])
+        assert pps > 0
