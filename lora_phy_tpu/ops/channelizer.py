@@ -1,0 +1,101 @@
+"""Polyphase filter-bank channelizer — the wideband front end.
+
+The reference processes exactly one channel; the BASELINE north star is a
+multi-channel receiver. This module splits one wideband IQ stream into K
+critically-sampled sub-channels (spacing fs/K) with a polyphase FFT filter
+bank, producing the ``[channels, T/K]`` tensor the batched/sharded
+demodulators consume (parallel/stream.py).
+
+TPU mapping: the polyphase FIR is one einsum over a strided window view
+(MXU-shaped: [frames, taps, K] x [taps, K]) and the K-point channel DFT is
+a dense matmul — no sequential filtering state, so the whole bank is one
+fused jit program. The prototype filter is a windowed-sinc lowpass
+designed at trace time in NumPy.
+
+Channel k is centred at frequency ``k * fs / K`` (k interpreted mod K, so
+negative offsets alias to high k). Each output channel is basebanded and
+decimated by K.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=16)
+def _prototype(k: int, taps_per_branch: int) -> np.ndarray:
+    """Windowed-sinc lowpass prototype, cutoff at half the channel spacing,
+    shaped [taps_per_branch, K] (polyphase decomposition)."""
+    ntaps = k * taps_per_branch
+    t = np.arange(ntaps) - (ntaps - 1) / 2.0
+    h = np.sinc(t / k) * np.hamming(ntaps)
+    h /= h.sum()
+    return h.reshape(taps_per_branch, k).astype(np.float32)
+
+
+def channelize(x, k: int, taps_per_branch: int = 7):
+    """[..., T] wideband complex64 -> [..., K, T//K] channel streams.
+
+    Group-delay aligned: with odd ``taps_per_branch`` the prototype's
+    centre lands exactly on the output frame's own span, so output frame
+    ``m`` of a channel corresponds to input samples around ``m * K`` —
+    LoRa symbol timing survives channelization (gated by the
+    multi-channel receive test). The stream is zero-padded symmetrically.
+    """
+    if taps_per_branch % 2 == 0:
+        raise ValueError("taps_per_branch must be odd for aligned output")
+    x = jnp.asarray(x)
+    t = x.shape[-1] // k * k
+    x = x[..., :t]
+    frames = t // k
+    h = jnp.asarray(_prototype(k, taps_per_branch))     # [taps, K]
+
+    # symmetric pad: head gets half the filter span so the prototype's
+    # centre aligns with each output frame
+    pad_head = ((taps_per_branch - 1) // 2) * k
+    pad_tail = (taps_per_branch - 1) * k - pad_head
+    xp = jnp.concatenate(
+        [jnp.zeros(x.shape[:-1] + (pad_head,), x.dtype), x,
+         jnp.zeros(x.shape[:-1] + (pad_tail,), x.dtype)], axis=-1
+    )
+    # window view: frame m uses samples [m*K, m*K + taps*K), branch-major.
+    # Build [..., frames, taps, K] via strided gather-free reshape: take
+    # taps_per_branch shifted reshapes and stack (static slices only).
+    views = [
+        xp[..., i * k: i * k + t].reshape(*x.shape[:-1], frames, k)
+        for i in range(taps_per_branch)
+    ]
+    w = jnp.stack(views, axis=-2)                       # [..., frames, taps, K]
+
+    # polyphase FIR: branch-wise dot over taps (real h x complex x)
+    fir = jnp.einsum("...ftk,tk->...fk", w, h)
+
+    # channel DFT across the K branches (IDFT convention so channel k sits
+    # at +k*fs/K); dense matmul, K is small
+    kk = np.arange(k)
+    dft = np.exp(-2j * np.pi * np.outer(kk, kk) / k).astype(np.complex64)
+    chans = jnp.einsum("...fk,ck->...cf", fir, jnp.asarray(dft))
+    return chans                                        # [..., K, frames]
+
+
+def synthesize_tone_channels(signals, k: int):
+    """Test helper (TX side): place each ``signals[..., c, :]`` stream onto
+    channel c of a wideband stream sampled at ``K x`` the channel rate:
+    upsample-by-K images are avoided by proper zero-stuffing + the same
+    prototype filter would be needed for a true synthesis bank; for test
+    purposes we mix each channel's samples (held at rate fs/K) onto its
+    carrier directly at rate fs."""
+    signals = jnp.asarray(signals)
+    nchan = signals.shape[-2]
+    length = signals.shape[-1]
+    t = jnp.arange(length * k)
+    wide = jnp.zeros(signals.shape[:-2] + (length * k,), jnp.complex64)
+    for c in range(nchan):
+        up = jnp.repeat(signals[..., c, :], k, axis=-1)   # zero-order hold
+        carrier = jnp.exp(2j * jnp.pi * (c % k) * t / k).astype(jnp.complex64)
+        wide = wide + up * carrier
+    return wide / nchan
