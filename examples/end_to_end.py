@@ -85,8 +85,46 @@ def sharded():
     print(f"mesh {m.shape}: decoded ok={np.array_equal(out, payloads)}")
 
 
+def wideband():
+    print("\n== wideband channelizer: two transmitters, one antenna ==")
+    from lora_phy_tpu.ops.channelizer import channelize, synthesize_tone_channels
+
+    p = LoraParams(sf=7)
+    k = 4
+    pay_a = np.frombuffer(b"chan one", dtype=np.uint8)
+    pay_b = np.frombuffer(b"chan two", dtype=np.uint8)
+    iq_a = np.asarray(modem.modulate(modem.encode(pay_a), p))
+    iq_b = np.asarray(modem.modulate(modem.encode(pay_b), p))
+    sigs = np.zeros((k, iq_a.size), np.complex64)
+    sigs[1], sigs[3] = iq_a, iq_b
+    wide = np.asarray(synthesize_tone_channels(sigs, k))
+    chans = np.asarray(channelize(wide, k))
+    for chan, expect in ((1, pay_a), (3, pay_b)):
+        res = modem.demodulate(np.asarray(modem.dechirp(chans[chan] * k, p)), p)
+        out = np.asarray(modem.decode(np.asarray(res.symbols)))
+        print(f"channel {chan}: {out.tobytes()!r}")
+
+
+def gr_capture():
+    print("\n== gr-lora_sdr OTA capture blind decode ==")
+    import pathlib
+    from lora_phy_tpu.models import gr_interop
+    from lora_phy_tpu.utils.iqio import read_iq
+
+    cap_path = pathlib.Path("/root/reference/vectors_binary/"
+                            "bw_125k_sf_7_cr_1_ldro_false_crc_true_implheader_false.unknown")
+    if not cap_path.exists():
+        print("(capture not available)")
+        return
+    frame = gr_interop.decode_frame(read_iq(cap_path), LoraParams(sf=7, osr=2))
+    print(f"payload: {frame.payload!r} crc_ok={frame.crc_ok} "
+          f"header_ok={frame.header_ok} cr=4/{frame.cr+4}")
+
+
 if __name__ == "__main__":
     simple_chain()
     coded_chain()
     streaming()
     sharded()
+    wideband()
+    gr_capture()
