@@ -49,7 +49,9 @@ def main() -> None:
     payload_len = 32
     n_sym = payload_len * 2 + 2                      # 66 incl. sync
     frame_samples = n_sym * params.step              # 8448
-    channels, frames = 8, 1024
+    # full-size batch on an accelerator; small batch if this ever runs on
+    # a CPU fallback so the bench still completes
+    channels, frames = (8, 1024) if platform != "cpu" else (8, 64)
 
     # Build a distinct pool of frames on CPU and tile it — demod cost is
     # data-independent, generation stays cheap and off the bench clock.

@@ -157,3 +157,67 @@ def write_csv(rows, path):
         w.writeheader()
         for r in rows:
             w.writerow(r)
+
+
+# ---------------------------------------------------------------------------
+# Planar Monte Carlo path (TPU-scale sweeps; no complex64 — CLAUDE.md)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("sf", "cr", "packets", "payload_len"))
+def _simulate_point_planar(key, snr_db, sf: int, cr: str, packets: int,
+                           payload_len: int):
+    """Planar twin of :func:`_simulate_point`: same model, split re/im
+    float32 arithmetic and the MXU DFT — runs on accelerators without
+    complex support and at TPU Monte Carlo scale."""
+    from ..ops.planar import detect_planar
+    from ..ops.chirp import model_chirps_planar
+
+    n = 1 << sf
+    up_re_np, up_im_np = model_chirps_planar(sf)
+    up_re = jnp.asarray(up_re_np)
+    up_im = jnp.asarray(up_im_np)
+
+    kp, kr, ki = jax.random.split(key, 3)
+    payload = jax.random.randint(kp, (packets, payload_len), 0, 256,
+                                 jnp.int32).astype(jnp.uint8)
+    tx_bits = encode_payload_bits(payload, cr)
+    symbols = bits_to_symbols(tx_bits, sf)                  # [P, S]
+    nbits = tx_bits.shape[-1]
+
+    idx = jnp.arange(n, dtype=jnp.float32)
+    ph = (2.0 * math.pi / n) * symbols.astype(jnp.float32)[..., None] * idx
+    c, s = jnp.cos(ph), jnp.sin(ph)
+    tx_re = up_re * c - up_im * s                           # [P, S, N]
+    tx_im = up_re * s + up_im * c
+
+    sigma = 10.0 ** (-jnp.asarray(snr_db, jnp.float32) / 20.0)
+    k2 = sigma / jnp.float32(math.sqrt(2.0))
+    rx_re = tx_re + k2 * jax.random.normal(kr, tx_re.shape, jnp.float32)
+    rx_im = tx_im + k2 * jax.random.normal(ki, tx_im.shape, jnp.float32)
+
+    # dechirp by conj(up): (a+jb)(ur-jui) planar
+    dr = rx_re * up_re + rx_im * up_im
+    di = rx_im * up_re - rx_re * up_im
+    det = detect_planar(dr, di, n)
+    rx_bits = symbols_to_bits(det.index, sf, nbits)
+    rx_payload = decode_payload_bits(rx_bits, cr, payload_len)
+
+    diff = jnp.bitwise_xor(payload, rx_payload)
+    bit_errors = jnp.sum(coding.unpack_bits(diff.astype(jnp.int32), 8))
+    packet_errors = jnp.sum(jnp.any(diff != 0, axis=-1))
+    return bit_errors, packet_errors
+
+
+def simulate_planar(sf: int, cr: str, snr_db: float, packets: int,
+                    payload_len: int, seed: int = 0) -> SweepPoint:
+    """BER/PER at one SNR point via the planar path."""
+    key = jax.random.PRNGKey(seed)
+    bit_errors, packet_errors = _simulate_point_planar(
+        key, float(snr_db), sf, cr, packets, payload_len
+    )
+    total_bits = packets * payload_len * 8
+    return SweepPoint(
+        float(snr_db),
+        float(bit_errors) / total_bits if total_bits else 0.0,
+        float(packet_errors) / packets if packets else 0.0,
+    )

@@ -151,3 +151,12 @@ def model_chirps(sf: int):
     accum = np.cumsum(phase)
     up = np.exp(1j * accum).astype(np.complex64)
     return jnp.asarray(up), jnp.asarray(np.conj(up))
+
+
+def model_chirps_planar(sf: int):
+    """Planar (re, im float32 NumPy) variant of :func:`model_chirps` for
+    accelerators without complex support."""
+    n = 1 << sf
+    idx = np.arange(n, dtype=np.float64)
+    accum = np.cumsum(-math.pi + (2.0 * math.pi * idx) / n)
+    return (np.cos(accum).astype(np.float32), np.sin(accum).astype(np.float32))

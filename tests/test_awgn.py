@@ -65,3 +65,16 @@ def test_waterfall_monotone():
     ]
     assert pers[0] >= pers[-1]
     assert pers[-1] == 0.0
+
+
+def test_planar_simulation_matches_complex():
+    """Planar Monte Carlo path == complex path (same PRNG stream, so the
+    noise realisations differ only in draw order; compare at a noiseless
+    point for exactness and statistically at a mid-SNR point)."""
+    clean_c = awgn.simulate(7, "4/8", 60.0, packets=12, payload_len=8, seed=2)
+    clean_p = awgn.simulate_planar(7, "4/8", 60.0, packets=12, payload_len=8, seed=2)
+    assert clean_c.per == clean_p.per == 0.0
+
+    mid_c = awgn.simulate(7, "4/5", -13.0, packets=200, payload_len=8, seed=2)
+    mid_p = awgn.simulate_planar(7, "4/5", -13.0, packets=200, payload_len=8, seed=2)
+    assert abs(mid_c.per - mid_p.per) < 0.15
