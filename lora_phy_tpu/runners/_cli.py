@@ -58,3 +58,18 @@ def params_from(flags) -> LoraParams:
         window=flags.get("window", Window.NONE),
         sync_word=flags.get("sync", 0x12),
     )
+
+
+def use_cpu() -> None:
+    """Pin JAX to CPU for host-side CLI tools.
+
+    The runner CLIs are host utilities on the complex64 code path; some
+    TPU PJRT plugins (this image's axon) implement no complex support and
+    self-register regardless of JAX_PLATFORMS, so the pin must go through
+    jax.config before any computation (see CLAUDE.md)."""
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass

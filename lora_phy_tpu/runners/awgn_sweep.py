@@ -13,10 +13,11 @@ import sys
 
 from ..models import awgn
 from ..utils.profiles import DEFAULT_PROFILES, load_profiles
-from ._cli import parse_flags
+from ._cli import parse_flags, use_cpu
 
 
 def main(argv=None) -> int:
+    use_cpu()
     flags = parse_flags(sys.argv[1:] if argv is None else argv, {
         "out": (str, "awgn_sweep"),
         "packets": (int, 100),

@@ -19,10 +19,11 @@ import numpy as np
 
 from ..models import modem
 from ..utils.iqio import read_iq
-from ._cli import bandwidth_flag, params_from, parse_flags
+from ._cli import bandwidth_flag, params_from, parse_flags, use_cpu
 
 
 def main(argv=None) -> int:
+    use_cpu()
     flags = parse_flags(sys.argv[1:] if argv is None else argv, {
         "in": (str, ""),
         "sf": (int, 7),

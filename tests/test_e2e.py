@@ -266,3 +266,38 @@ def test_demodulate_truncates_partial_symbols():
     res = modem.demodulate(ragged, p)
     out = np.asarray(modem.decode(np.asarray(res.symbols)))
     np.testing.assert_array_equal(out, payload)
+
+
+def test_gr_capture_all_frames(reference_dir):
+    """Every frame in the OTA capture decodes: a repeating
+    "hello world: N" sequence, all CRC-verified, zero FEC errors."""
+    from lora_phy_tpu.models import gr_interop
+    from lora_phy_tpu.utils.iqio import read_iq
+
+    path = (reference_dir / "vectors_binary" /
+            "bw_125k_sf_7_cr_1_ldro_false_crc_true_implheader_false.unknown")
+    if not path.exists():
+        pytest.skip("capture missing")
+    samples = read_iq(path)
+    p = LoraParams(sf=7, osr=2)
+    step = p.step
+    overhead = 12 * step + step // 4
+
+    payloads = []
+    offset = 0
+    while samples.size - offset > 16 * step and len(payloads) < 20:
+        frame = gr_interop.decode_frame(samples[offset:], p)
+        if frame is None:
+            break
+        if not frame.header_ok:
+            offset += frame.start + step
+            continue
+        assert frame.crc_ok and frame.fec_errors == 0
+        payloads.append(frame.payload)
+        nibbles = (frame.length + 2) * 2
+        blocks = -(-nibbles // p.sf)
+        offset += frame.start + overhead + (8 + blocks * (4 + frame.cr)) * step
+
+    assert len(payloads) >= 10
+    for i, payload in enumerate(payloads):
+        assert payload == f"hello world: {i}".encode()
