@@ -251,3 +251,109 @@ def load_state(path) -> StreamState:
     z = np.load(path)
     tail = (z["tail_re"] + 1j * z["tail_im"]).astype(np.complex64)
     return StreamState(jnp.asarray(tail), int(z["consumed"]))
+
+
+# ---------------------------------------------------------------------------
+# Header-driven (adaptive) framing: payload length learned from the
+# explicit header, so streams may carry frames of arbitrary sizes
+# ---------------------------------------------------------------------------
+
+def frame_encode(payload, cfg, params: LoraParams, preamble_len: int = 8):
+    """Full self-describing frame: explicit header (coded.encode_header)
+    + coded payload, wrapped in preamble/sync/2.25-downchirp framing.
+    ``cfg`` is a models.coded.CodedConfig."""
+    from . import coded
+
+    payload = np.asarray(payload, np.uint8)
+    hdr = coded.encode_header(len(payload), cfg)
+    body = coded.encode_payload(payload, cfg)
+    symbols = jnp.concatenate(
+        [jnp.asarray(hdr, jnp.uint16), jnp.asarray(body, jnp.uint16)], axis=-1
+    )
+    return frame_modulate(symbols, params, preamble_len=preamble_len)
+
+
+def frame_decode_adaptive(samples, params: LoraParams, preamble_len: int = 8):
+    """Sync one frame and decode it using only the stream contents: the
+    8-symbol explicit header supplies payload length, CR and CRC mode.
+
+    Returns ``(payload bytes | None, info dict, consumed_samples)``.
+    """
+    from . import coded
+    from .coded import CodedConfig
+
+    res = frame_sync(samples, params, preamble_len)
+    if not res.found:
+        return None, {"found": False}, 0
+    step = params.step
+    avail = (np.asarray(samples).shape[-1] - res.payload_start) // step
+    if avail < 8:
+        return None, {"found": False}, 0
+
+    out, _ = frame_demodulate(samples, params, int(avail), preamble_len)
+    if out is None:
+        return None, {"found": False}, 0
+    bins = np.asarray(out.symbols)
+
+    nbytes, cr, crc_en, hdr_ok = coded.decode_header(bins[:8], params.sf)
+    info = {
+        "found": True, "start": res.start, "cfo_bins": res.cfo_bins,
+        "length": nbytes, "cr": cr, "crc": crc_en, "header_ok": hdr_ok,
+    }
+    if not hdr_ok or not (1 <= cr <= 4) or nbytes == 0:
+        return None, info, res.start + step
+    cfg = CodedConfig(sf=params.sf, cr=cr, crc=crc_en)
+    nsym = coded.payload_symbol_count(nbytes, cfg)
+    if bins.shape[-1] - 8 < nsym:
+        return None, {**info, "truncated": True}, 0
+    payload, crc_ok, fec_err = coded.decode_payload(bins[8:8 + nsym], nbytes, cfg)
+    info["crc_ok"] = bool(np.all(np.asarray(crc_ok)))
+    info["fec_errors"] = int(np.asarray(fec_err))
+    consumed = (res.payload_start + (8 + nsym) * step)
+    return np.asarray(payload).tobytes(), info, consumed
+
+
+class AdaptiveStreamDemodulator:
+    """Block-wise receiver for self-describing frames (explicit headers):
+    no prior knowledge of payload sizes; carries a tail between blocks."""
+
+    def __init__(self, params: LoraParams, preamble_len: int = 8,
+                 max_frame_len: int | None = None):
+        self.params = params
+        self.preamble_len = preamble_len
+        # worst case: 255-byte payload + CRC at CR 4/8
+        if max_frame_len is None:
+            from .coded import CodedConfig
+
+            from . import coded
+            worst = coded.payload_symbol_count(
+                255, CodedConfig(sf=params.sf, cr=4)
+            )
+            max_frame_len = (
+                frame_overhead_samples(params, preamble_len)
+                + (8 + worst) * params.step
+            )
+        self.max_frame_len = max_frame_len
+
+    def init_state(self) -> StreamState:
+        return StreamState(jnp.zeros((0,), jnp.complex64), 0)
+
+    def process(self, state: StreamState, block):
+        buf = jnp.concatenate([state.tail, jnp.asarray(block)], axis=-1)
+        base = state.consumed
+        frames = []
+        offset = 0
+        while buf.shape[-1] - offset >= 16 * self.params.step:
+            payload, info, consumed = frame_decode_adaptive(
+                buf[offset:], self.params, self.preamble_len
+            )
+            if payload is not None:
+                frames.append((base + offset + info["start"], payload, info))
+                offset += consumed
+            elif info.get("found") and consumed > 0:
+                offset += consumed      # bad header: skip this sync point
+            else:
+                break                   # nothing (or truncated): wait for more
+        keep = min(buf.shape[-1] - offset, self.max_frame_len + self.params.step)
+        new_tail = buf[buf.shape[-1] - keep:]
+        return StreamState(new_tail, base + buf.shape[-1] - keep), frames

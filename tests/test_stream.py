@@ -168,3 +168,34 @@ def test_frame_demodulate_with_integer_cfo():
     dec, crc_ok, _ = coded.decode_payload(np.asarray(out.symbols), len(payload), cfg)
     np.testing.assert_array_equal(np.asarray(dec), payload)
     assert bool(np.all(np.asarray(crc_ok)))
+
+
+def test_adaptive_header_driven_stream():
+    """Frames of DIFFERENT payload lengths and coding rates in one
+    stream, with no receiver-side prior knowledge: the explicit header
+    drives everything."""
+    p = LoraParams(sf=8)
+    msgs = [(b"short", 1), (b"a much longer payload here!", 4),
+            (b"mid-size msg", 2)]
+    parts = [np.zeros(313, np.complex64)]
+    for payload, cr in msgs:
+        cfg = CodedConfig(sf=8, cr=cr)
+        iq = np.asarray(stream.frame_encode(
+            np.frombuffer(payload, np.uint8), cfg, p))
+        parts.append(iq)
+        parts.append(np.zeros(500, np.complex64))
+    sig = np.concatenate(parts)
+
+    sd = stream.AdaptiveStreamDemodulator(p)
+    state = sd.init_state()
+    got = []
+    block = max(sig.size // 3 + 1, 20 * p.step)
+    for i in range(0, sig.size, block):
+        state, frames = sd.process(state, sig[i:i + block])
+        got.extend(frames)
+
+    assert [g[1] for g in got] == [m[0] for m in msgs]
+    for (_, _, info), (_, cr) in zip(got, msgs):
+        assert info["header_ok"] and info["crc_ok"]
+        assert info["cr"] == cr
+        assert info["fec_errors"] == 0
