@@ -109,3 +109,28 @@ def test_no_retrace_steady_state(devices):
     for i in range(3):
         modem.demodulate(dech * (1.0 + i * 0.1), p)
     assert modem.demodulate._cache_size() == misses0
+
+
+def test_scaling_harness_smoke(devices, capsys):
+    """bench_scaling produces a well-formed report (virtual CPU mesh —
+    efficiency numbers here reflect shared host cores, not hardware)."""
+    import json
+    from lora_phy_tpu.runners import bench_scaling
+
+    assert bench_scaling.main(["--devices=1,2", "--frames=4"]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [r["devices"] for r in rows] == [1, 2]
+    assert all(r["samples_per_s"] > 0 for r in rows)
+    assert rows[0]["efficiency"] == 1.0
+
+
+def test_profiling_roofline():
+    from lora_phy_tpu.utils.profiling import demod_roofline
+    from lora_phy_tpu.utils.params import LoraParams
+
+    r7 = demod_roofline(LoraParams(sf=7), 1000)
+    assert r7.flops > 0 and r7.bytes > 0
+    assert r7.bound in ("compute", "memory")
+    assert 0 < r7.attained(max(r7.t_compute_s, r7.t_memory_s) * 2) <= 0.5
+    r12 = demod_roofline(LoraParams(sf=12), 1000)
+    assert r12.flops < 1000 * 8 * 4096 * 4096  # four-step, not dense N^2
