@@ -2,8 +2,8 @@
 """Headline benchmark: batched multi-channel LoRa demodulation throughput.
 
 Workload (a superset of BASELINE.json configs[3]'s 8x1024): 8 channels x
-4096 frames of 32-byte payloads at SF7 BW125 osr1 -> 66 symbols x 128
-samples = 8448 IQ samples per frame, 277M IQ samples per step,
+8192 frames of 32-byte payloads at SF7 BW125 osr1 -> 66 symbols x 128
+samples = 8448 IQ samples per frame, 554M IQ samples per step,
 demodulated through the full working path (normalisation, 2-symbol CFO/TO estimate with deterministic
 tie-breaks, shifted gather, derotation, MXU DFT, argmax, sync extraction).
 
@@ -49,10 +49,10 @@ def main() -> None:
     payload_len = 32
     n_sym = payload_len * 2 + 2                      # 66 incl. sync
     frame_samples = n_sym * params.step              # 8448
-    # full-size batch on an accelerator (4096 frames/channel amortises the
+    # full-size batch on an accelerator (8192 frames/channel amortises the
     # fixed per-dispatch overhead of this image's relayed PJRT); small batch
     # if this ever runs on a CPU fallback so the bench still completes
-    channels, frames = (8, 4096) if platform != "cpu" else (8, 64)
+    channels, frames = (8, 8192) if platform != "cpu" else (8, 64)
 
     # Build a distinct pool of frames on CPU and tile it — demod cost is
     # data-independent, generation stays cheap and off the bench clock.
