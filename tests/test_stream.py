@@ -199,3 +199,22 @@ def test_adaptive_header_driven_stream():
         assert info["header_ok"] and info["crc_ok"]
         assert info["cr"] == cr
         assert info["fec_errors"] == 0
+
+
+def test_adaptive_stream_under_impairments():
+    """Adaptive receiver under AWGN + integer CFO: headers and payloads
+    still recover (CR 4/8 frame at 15 dB, 2-bin CFO)."""
+    p = LoraParams(sf=8)
+    cfg = CodedConfig(sf=8, cr=4)
+    payload = b"impaired frame payload"
+    iq = np.asarray(stream.frame_encode(np.frombuffer(payload, np.uint8), cfg, p))
+    sig = np.concatenate([np.zeros(421, np.complex64), iq,
+                          np.zeros(4 * p.step, np.complex64)])
+    sig = np.asarray(apply_cfo_continuous(sig, 2.0, p.n, p.osr))
+    sig = np.asarray(apply_awgn(jax.random.PRNGKey(11), sig, 15.0))
+
+    got, info, consumed = stream.frame_decode_adaptive(sig, p)
+    assert info["found"] and info["header_ok"]
+    assert info["cfo_bins"] == 2
+    assert got == payload
+    assert info["crc_ok"]
