@@ -128,7 +128,7 @@ def main() -> None:
                 modem.dechirp(modem.modulate(s12, p12), p12)
             ).astype(np.complex64)
         r12, i12 = planar.split_complex(d12)
-        reps12 = 64
+        reps12 = 256   # 1024 frames -> 277M samples, amortises dispatch
 
         @jax.jit
         def expand12(a):
