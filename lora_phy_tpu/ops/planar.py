@@ -83,7 +83,8 @@ def dft_planar(xr, xi, n: int, mxu_dtype=None):
 
 class PlanarDetection(NamedTuple):
     index: jnp.ndarray
-    power: jnp.ndarray
+    power: jnp.ndarray       # fundamental power, dB (LoRaDetector.hpp:64)
+    power_avg: jnp.ndarray   # residual/noise power, dB — the SNR observable
     findex: jnp.ndarray
     peak_re: jnp.ndarray
     peak_im: jnp.ndarray
@@ -98,7 +99,11 @@ def detect_planar(xr, xi, n: int, mxu_dtype=None) -> PlanarDetection:
     ix = index[..., None]
     max_value = jnp.take_along_axis(mag2, ix, axis=-1)[..., 0]
     fundamental = jnp.sqrt(max_value)
-    power = 20.0 * jnp.log10(fundamental) - 20.0 * jnp.log10(jnp.float32(n))
+    scale_db = 20.0 * jnp.log10(jnp.float32(n))
+    power = 20.0 * jnp.log10(fundamental) - scale_db
+    total = jnp.sum(mag2, axis=-1)
+    noise = jnp.sqrt(jnp.maximum(total - max_value, 0.0))
+    power_avg = 20.0 * jnp.log10(noise) - scale_db
 
     left_ix = jnp.where(index > 0, index - 1, n - 1)[..., None]
     right_ix = jnp.where(index < n - 1, index + 1, 0)[..., None]
@@ -114,6 +119,7 @@ def detect_planar(xr, xi, n: int, mxu_dtype=None) -> PlanarDetection:
     peak_re = jnp.take_along_axis(sr, ix, axis=-1)[..., 0]
     peak_im = jnp.take_along_axis(si, ix, axis=-1)[..., 0]
     return PlanarDetection(index, power.astype(jnp.float32),
+                           power_avg.astype(jnp.float32),
                            findex.astype(jnp.float32), peak_re, peak_im)
 
 

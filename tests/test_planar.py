@@ -100,3 +100,19 @@ def test_planar_knobs_equivalent():
                                     precision="bf16")
     np.testing.assert_array_equal(np.asarray(fast.symbols), np.asarray(ref.symbols))
     assert int(fast.sync_word) == int(ref.sync_word)
+
+
+def test_planar_noise_power_observable():
+    """power/power_avg mirror the complex detector's SNR observables."""
+    from lora_phy_tpu.ops.detect import detect as detect_c
+
+    rng = np.random.RandomState(0)
+    x = (rng.randn(4, 128) + 1j * rng.randn(4, 128)).astype(np.complex64)
+    ref = detect_c(x)
+    got = planar.detect_planar(
+        np.ascontiguousarray(x.real), np.ascontiguousarray(x.imag), 128
+    )
+    np.testing.assert_allclose(np.asarray(got.power), np.asarray(ref.power),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.power_avg),
+                               np.asarray(ref.power_avg), atol=1e-3)
