@@ -54,3 +54,14 @@ def test_multichannel_lora_receive():
         out = np.asarray(modem.decode(np.asarray(res.symbols)))
         np.testing.assert_array_equal(out, payload)
         assert int(res.sync_word) == 0x12
+
+
+def test_channelizer_batched():
+    """Leading batch dims flow through the filter bank."""
+    k = 8
+    rng = np.random.RandomState(0)
+    wide = (rng.randn(3, 2048) + 1j * rng.randn(3, 2048)).astype(np.complex64)
+    chans = np.asarray(channelize(wide, k))
+    assert chans.shape == (3, k, 2048 // k)
+    single = np.asarray(channelize(wide[1], k))
+    np.testing.assert_allclose(chans[1], single, atol=1e-5)
