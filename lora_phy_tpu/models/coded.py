@@ -108,7 +108,11 @@ def encode_payload(payload, cfg: CodedConfig):
     else:
         framed = payload
     if cfg.whiten:
-        framed = coding.whiten_sx1272_lfsr(framed, 0, cfg.rdd if cfg.rdd else 4)
+        # full-width (rdd=4) keystream: whitening here runs over packed
+        # *bytes*, where the reference's codeword-width mask 0xff>>(4-RDD)
+        # (LoRaCodes.hpp:176-189) would leave the top payload bits of every
+        # byte unwhitened for CR 4/5..4/7 and defeat the spectral purpose
+        framed = coding.whiten_sx1272_lfsr(framed, 0, 4)
 
     nibbles = coding.bytes_to_nibbles(framed)
     ncw = nibbles.shape[-1]
@@ -142,7 +146,11 @@ def decode_payload(symbols, nbytes: int, cfg: CodedConfig):
     nibbles = nibbles[..., : total * 2]
     framed = coding.nibbles_to_bytes(nibbles)
     if cfg.whiten:
-        framed = coding.whiten_sx1272_lfsr(framed, 0, cfg.rdd if cfg.rdd else 4)
+        # full-width (rdd=4) keystream: whitening here runs over packed
+        # *bytes*, where the reference's codeword-width mask 0xff>>(4-RDD)
+        # (LoRaCodes.hpp:176-189) would leave the top payload bits of every
+        # byte unwhitened for CR 4/5..4/7 and defeat the spectral purpose
+        framed = coding.whiten_sx1272_lfsr(framed, 0, 4)
     payload = framed[..., :nbytes]
     if cfg.crc:
         provided = framed[..., -2].astype(jnp.uint16) | (

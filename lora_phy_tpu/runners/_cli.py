@@ -27,12 +27,22 @@ def parse_flags(argv, spec: dict):
             print(f"Unknown argument: {arg}", file=sys.stderr)
             raise SystemExit(1)
         body = arg[2:]
-        key, _, val = body.partition("=")
+        key, sep, val = body.partition("=")
         if key not in spec:
             print(f"Unknown argument: {arg}", file=sys.stderr)
             raise SystemExit(1)
         conv = spec[key][0]
-        out[key] = True if conv is None else conv(val)
+        if conv is None:
+            out[key] = True
+            continue
+        if not sep:
+            print(f"Flag --{key} requires a value: --{key}=V", file=sys.stderr)
+            raise SystemExit(1)
+        try:
+            out[key] = conv(val)
+        except ValueError:
+            print(f"Invalid value for --{key}: {val!r}", file=sys.stderr)
+            raise SystemExit(1)
     return out
 
 

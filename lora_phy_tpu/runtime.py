@@ -29,7 +29,10 @@ def _build() -> pathlib.Path:
 
 
 def _load() -> ctypes.CDLL:
-    if not _LIB_PATH.exists():
+    src = _RUNTIME_DIR / "lora_runtime.cpp"
+    if not _LIB_PATH.exists() or (
+        src.exists() and src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+    ):
         _build()
     lib = ctypes.CDLL(str(_LIB_PATH))
     f32p = ctypes.POINTER(ctypes.c_float)

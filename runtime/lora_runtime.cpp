@@ -81,7 +81,10 @@ struct LoraRing {
 };
 
 void* lora_rt_ring_create(size_t capacity, size_t block, size_t halo) {
-    if (capacity < block + halo || block == 0) return nullptr;
+    // `2*halo` headroom: the halo samples behind `tail` stay live until the
+    // next pop re-reads them, so the producer may never reclaim them (see
+    // lora_rt_ring_space).
+    if (capacity < block + 2 * halo || block == 0) return nullptr;
     LoraRing* r = new LoraRing();
     r->re = (float*)malloc(capacity * sizeof(float));
     r->im = (float*)malloc(capacity * sizeof(float));
@@ -102,11 +105,15 @@ void lora_rt_ring_destroy(void* ring) {
     delete r;
 }
 
-// Space available for the producer (in samples).
+// Space available for the producer (in samples). The `halo` samples behind
+// `tail` are still owed to the consumer's next pop_block, so they are
+// reserved: without this, a backpressured producer (push until space == 0)
+// overwrites the halo region before pop_block reads it and every block seam
+// after the first wrap silently returns future samples as its halo.
 size_t lora_rt_ring_space(void* ring) {
     LoraRing* r = (LoraRing*)ring;
-    uint64_t used = r->head.load() - r->tail.load();
-    return (size_t)(r->capacity - used);
+    uint64_t reserved = r->head.load() - r->tail.load() + r->halo;
+    return reserved >= r->capacity ? 0 : (size_t)(r->capacity - reserved);
 }
 
 // Push planar samples; returns samples accepted (may be < n when full).

@@ -21,7 +21,6 @@ GOLDEN = sorted((pathlib.Path(__file__).parent / "fixtures" / "golden").glob("*.
 
 
 def _params(name: str) -> LoraParams:
-    parts = dict(p[:2] != "win" and (p[:3], p[3:]) or (p[:3], p[3:]) for p in [])
     toks = name.split("_")
     sf = int(toks[0][2:])
     bw = Bandwidth(int(toks[1][2:]))

@@ -67,9 +67,37 @@ def test_ring_backpressure():
     ring = runtime.OverlapSaveRing(capacity=256, block=64, halo=8)
     big = np.zeros(1000, np.float32)
     pushed = ring.push(big, big)
-    assert pushed == 256
+    # the halo behind the consume point is reserved for the next pop
+    assert pushed == 256 - 8
     ring.pop_block()
     assert ring.space == 64
+
+
+def test_ring_full_refill_across_wrap_keeps_halo():
+    """Producer refills ALL available space between pops across wraps; the
+    halo of every block must still be the previous block's tail samples
+    (regression: an unreserved halo region gets overwritten when full)."""
+    cap, block, halo = 256, 64, 8
+    ring = runtime.OverlapSaveRing(capacity=cap, block=block, halo=halo)
+    total = np.arange(4096, dtype=np.float32)
+    fed = 0
+    popped = 0
+    while fed < total.size or ring.ready >= block:
+        space = ring.space
+        if space and fed < total.size:
+            fed += ring.push(total[fed:fed + space], -total[fed:fed + space])
+        blk = ring.pop_block()
+        if blk is None:
+            assert fed >= total.size
+            break
+        re, im = blk
+        start = popped * block
+        if popped > 0:
+            np.testing.assert_array_equal(re[:halo], total[start - halo:start])
+            np.testing.assert_array_equal(im[:halo], -total[start - halo:start])
+        np.testing.assert_array_equal(re[halo:], total[start:start + block])
+        popped += 1
+    assert popped >= 60  # many wraps of the 256-sample ring
 
 
 def test_ring_wraparound_consistency():
