@@ -345,7 +345,7 @@ def compensate_offsets(samples, params: LoraParams, cfo, time_offset):
 
     offset = _round_half_away(jnp.asarray(time_offset, jnp.float32)).astype(jnp.int32)
     idx = jnp.arange(count, dtype=jnp.int32)
-    src = idx - offset[..., None]
+    src = jnp.broadcast_to(idx - offset[..., None], out.shape)
     valid = (src >= 0) & (src < count)
     # only shift when |offset| < count, as the reference guards
     do_shift = (jnp.abs(offset) < count)[..., None]

@@ -63,6 +63,22 @@ def gen_chirp(
     phase accumulator output follows the reference's carry contract
     (ChirpGenerator.hpp:48).
     """
+    samples, end = gen_chirp_np(n, osr, nn, f0, down, ampl, phase0, bw_scale)
+    return jnp.asarray(samples), end
+
+
+def gen_chirp_np(
+    n: int,
+    osr: int,
+    nn: int,
+    f0: float,
+    down: bool,
+    ampl: float = 1.0,
+    phase0: float = 0.0,
+    bw_scale: float = 1.0,
+):
+    """NumPy-only body of :func:`gen_chirp` (no device transfer — usable to
+    build planar constants on complex-free backends)."""
     f_min = -math.pi * bw_scale / osr
     f_step = (2.0 * math.pi * bw_scale) / (n * osr * osr)
     m = n * osr
@@ -75,16 +91,20 @@ def gen_chirp(
     samples = (ampl * np.exp(1j * phase)).astype(np.complex64)
     end = float(phase[-1])
     end -= math.floor(end / (2 * math.pi)) * (2 * math.pi)
-    return jnp.asarray(samples), end
+    return samples, end
 
 
-@partial(jax.jit, static_argnames=("n", "osr", "bw_scale_x8"))
-def _mod_chirps(symbols, n: int, osr: int, bw_scale_x8: int, ampl):
-    """Phase-continuous upchirps for symbol values on the integer lattice.
+def _chirp_phase(symbols, n: int, osr: int, bw_scale_x8: int):
+    """Shared integer-lattice phase for phase-continuous upchirps.
 
-    ``symbols``: [..., S] int32 symbol values in [0, N). Returns
-    [..., S, N*osr] complex64 reproducing ``lora_modulate``'s continuity
-    (LoRaMod.cpp:34-41) in closed form.
+    ``symbols``: [..., S] int32 symbol values in [0, N). Returns the
+    float32 phase array [..., S, N*osr] reproducing ``lora_modulate``'s
+    continuity (LoRaMod.cpp:34-41) in closed form.
+
+    The per-sample cumulative sum ``S_k = sum_{j<=k} (((w+j) mod M) + 1)``
+    has the exact closed form (0 <= w < M, k < M, so at most one wrap per
+    sample): ``S_k = (k+1)(w+1) + k(k+1)/2 - M*max(0, (k+1)-(M-w))`` —
+    all int32, elementwise (no scan), bit-identical to the running sum.
     """
     bw_scale = bw_scale_x8 / 8.0
     f_step, p = _lattice_period(n, osr, bw_scale)
@@ -93,19 +113,36 @@ def _mod_chirps(symbols, n: int, osr: int, bw_scale_x8: int, ampl):
 
     ks = jnp.arange(m, dtype=jnp.int32)
     w = (symbols.astype(jnp.int32) * osr)[..., None]       # [..., S, 1]
-    v = ((w + ks[None, :]) % m) + 1                        # [..., S, M] in [1, M]
-    s_cum = jnp.cumsum(v, axis=-1)                         # <= M(M+1)/2 + M < 2^31
-    t_lattice = s_cum - half_m * (ks + 1)                  # phase / fStep, int32
+    k1 = ks + 1                                            # [M]
+    wraps = jnp.maximum(0, k1[None, :] + w - m)            # [..., S, M]
+    s_cum = k1 * (w + 1) + (ks * k1) // 2 - m * wraps      # <= M(M+1) < 2^31
+    t_lattice = s_cum - half_m * k1                        # phase / fStep, int32
 
     # Cross-symbol carry: s-th symbol starts at phase fStep * (s*M/2 mod P)
     s_idx = jnp.arange(symbols.shape[-1], dtype=jnp.int32)
     carry = (s_idx * half_m) % p                           # [S]
 
     lattice = (carry[:, None] + t_lattice) % p             # [..., S, M] in [0, P)
-    phase = lattice.astype(jnp.float32) * jnp.float32(f_step)
+    return lattice.astype(jnp.float32) * jnp.float32(f_step)
+
+
+@partial(jax.jit, static_argnames=("n", "osr", "bw_scale_x8"))
+def _mod_chirps(symbols, n: int, osr: int, bw_scale_x8: int, ampl):
+    """Complex64 phase-continuous upchirps (see :func:`_chirp_phase`)."""
+    phase = _chirp_phase(symbols, n, osr, bw_scale_x8)
     return (ampl * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))).astype(
         jnp.complex64
     )
+
+
+@partial(jax.jit, static_argnames=("n", "osr", "bw_scale_x8"))
+def _mod_chirps_planar(symbols, n: int, osr: int, bw_scale_x8: int, ampl):
+    """Planar (re, im float32) twin of :func:`_mod_chirps` — the TX path
+    for accelerators without complex support (and the TPU-native layout
+    regardless). Bit-identical planes to the complex emitter."""
+    phase = _chirp_phase(symbols, n, osr, bw_scale_x8)
+    ampl = jnp.float32(ampl)
+    return ampl * jnp.cos(phase), ampl * jnp.sin(phase)
 
 
 def modulate_symbols(symbols, sf: int, osr: int, bw_scale: float,
@@ -116,18 +153,39 @@ def modulate_symbols(symbols, sf: int, osr: int, bw_scale: float,
 
     ``symbols``: [..., S] integer array. Returns [..., (S+2)*N*osr] complex64.
     """
+    allsyms = _tx_symbol_plan(symbols, sf, sync_word)
+    ampl = float(np.clip(ampl, -1.0, 1.0))
+    bw8 = int(round(bw_scale * 8))
+    chirps = _mod_chirps(allsyms, 1 << sf, osr, bw8, ampl)
+    return chirps.reshape(*chirps.shape[:-2], -1)
+
+
+def _tx_symbol_plan(symbols, sf: int, sync_word: int):
+    """Prepend the 2 sync-word upchirp symbols (LoRaMod.cpp:20-32)."""
     symbols = jnp.asarray(symbols)
     shift = (sf - 4) if sf > 4 else 0
     sw0 = ((sync_word >> 4) & 0xF) << shift
     sw1 = (sync_word & 0xF) << shift
-    ampl = float(np.clip(ampl, -1.0, 1.0))
     sync = jnp.broadcast_to(
         jnp.asarray([sw0, sw1], dtype=jnp.int32), symbols.shape[:-1] + (2,)
     )
-    allsyms = jnp.concatenate([sync, symbols.astype(jnp.int32)], axis=-1)
+    return jnp.concatenate([sync, symbols.astype(jnp.int32)], axis=-1)
+
+
+def modulate_symbols_planar(symbols, sf: int, osr: int, bw_scale: float,
+                            ampl: float = 1.0, sync_word: int = 0x12):
+    """Planar twin of :func:`modulate_symbols` — the full ``lora_modulate``
+    TX chain (src/phy/LoRaMod.cpp:8-43) emitting (re, im) float32 planes so
+    the modulator runs on complex-free TPU backends. Planes are bit-exact
+    with ``split_complex(modulate_symbols(...))``.
+
+    [..., S] -> ((re, im) each [..., (S+2)*N*osr] float32).
+    """
+    allsyms = _tx_symbol_plan(symbols, sf, sync_word)
+    ampl = float(np.clip(ampl, -1.0, 1.0))
     bw8 = int(round(bw_scale * 8))
-    chirps = _mod_chirps(allsyms, 1 << sf, osr, bw8, ampl)
-    return chirps.reshape(*chirps.shape[:-2], -1)
+    re, im = _mod_chirps_planar(allsyms, 1 << sf, osr, bw8, ampl)
+    return (re.reshape(*re.shape[:-2], -1), im.reshape(*im.shape[:-2], -1))
 
 
 def base_downchirp(sf: int, bw_scale: float = 1.0, osr: int = 1):
@@ -139,6 +197,16 @@ def base_downchirp(sf: int, bw_scale: float = 1.0, osr: int = 1):
     samples, _ = gen_chirp(n, osr, n * osr, 0.0, down=True, ampl=1.0,
                            phase0=0.0, bw_scale=bw_scale)
     return samples
+
+
+def base_downchirp_planar(sf: int, bw_scale: float = 1.0, osr: int = 1):
+    """(re, im) float32 NumPy planes of :func:`base_downchirp` — trace-time
+    constants for the planar dechirp (no complex device transfer)."""
+    n = 1 << sf
+    samples, _ = gen_chirp_np(n, osr, n * osr, 0.0, down=True, ampl=1.0,
+                              phase0=0.0, bw_scale=bw_scale)
+    return (np.ascontiguousarray(samples.real.astype(np.float32)),
+            np.ascontiguousarray(samples.imag.astype(np.float32)))
 
 
 def model_chirps(sf: int):

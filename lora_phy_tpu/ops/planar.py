@@ -123,9 +123,12 @@ def detect_planar(xr, xi, n: int, mxu_dtype=None) -> PlanarDetection:
                            findex.astype(jnp.float32), peak_re, peak_im)
 
 
-def _estimate_planar(xr, xi, n: int, osr: int, window):
-    """Planar twin of modem._estimate with the deterministic lowest-index
-    tie-break (src/phy/LoRaDemod.cpp:85-135)."""
+def _estimate_planar(xr, xi, n: int, osr: int, window,
+                     tie_break_idx: bool = True):
+    """Planar twin of modem._estimate. ``tie_break_idx=True`` applies
+    ``lora_demodulate``'s deterministic lowest-index tie-break
+    (src/phy/LoRaDemod.cpp:85-135); ``False`` matches ``estimate_offsets``'s
+    plain ``p > best`` scan (src/phy/phy.cpp:113)."""
     lead = xr.shape[:-1]
     s = xr.shape[-1] // (n * osr)
 
@@ -142,9 +145,10 @@ def _estimate_planar(xr, xi, n: int, osr: int, window):
 
     maxp = jnp.max(p, axis=-1, keepdims=True)
     cand = p == maxp
-    idx_masked = jnp.where(cand, idx, jnp.iinfo(jnp.int32).max)
-    min_idx = jnp.min(idx_masked, axis=-1, keepdims=True)
-    cand = cand & (idx_masked == min_idx)
+    if tie_break_idx:
+        idx_masked = jnp.where(cand, idx, jnp.iinfo(jnp.int32).max)
+        min_idx = jnp.min(idx_masked, axis=-1, keepdims=True)
+        cand = cand & (idx_masked == min_idx)
     best_t = jnp.argmax(cand, axis=-1)
 
     def pick(f):
@@ -257,3 +261,92 @@ def split_complex(x):
     x = np.asarray(x)
     return (np.ascontiguousarray(x.real.astype(np.float32)),
             np.ascontiguousarray(x.imag.astype(np.float32)))
+
+
+# ---------------------------------------------------------------------------
+# Planar TX + dechirp — the modulator on complex-free TPU backends
+# ---------------------------------------------------------------------------
+
+def modulate_planar(symbols, params: LoraParams, amplitude: float = 1.0):
+    """Planar twin of models.modem.modulate: symbols -> phase-continuous
+    chirped (re, im) float32 planes with the 2-symbol sync preamble
+    (reference TX chain: src/phy/LoRaMod.cpp:8-43, hot loop
+    ChirpGenerator.hpp:23-50). Runs entirely on-device — including on
+    PJRTs without complex support. [..., S] -> ((re, im) [..., (S+2)*step])."""
+    from .chirp import modulate_symbols_planar
+
+    return modulate_symbols_planar(
+        symbols, params.sf, params.osr, params.scale, amplitude,
+        params.sync_word,
+    )
+
+
+@partial(jax.jit, static_argnames=("params",))
+def dechirp_planar(xr, xi, params: LoraParams):
+    """Planar external dechirp — multiply every symbol period by the base
+    downchirp (the working-path contract, tests/e2e_chain_test.cpp:80-93),
+    as a planar complex multiply against trace-time constant planes."""
+    from .chirp import base_downchirp_planar
+
+    dr, di = base_downchirp_planar(params.sf, params.scale, params.osr)
+    dr, di = jnp.asarray(dr), jnp.asarray(di)
+    step = params.step
+    nsym = xr.shape[-1] // step
+    lead = xr.shape[:-1]
+    ar = xr[..., : nsym * step].reshape(*lead, nsym, step)
+    ai = xi[..., : nsym * step].reshape(*lead, nsym, step)
+    yr = ar * dr - ai * di
+    yi = ar * di + ai * dr
+    return (yr.reshape(*lead, nsym * step), yi.reshape(*lead, nsym * step))
+
+
+# ---------------------------------------------------------------------------
+# Planar estimate / compensate (public API parity with phy.cpp on the
+# complex-free deployment path)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("params",))
+def estimate_offsets_planar(xr, xi, params: LoraParams):
+    """Planar twin of models.modem.estimate_offsets (src/phy/phy.cpp:78-145;
+    no argmax-index tie-break across osr phases)."""
+    window = _window_table(params)
+    return _estimate_planar(xr, xi, params.n, params.osr, window,
+                            tie_break_idx=False)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def compensate_offsets_planar(xr, xi, params: LoraParams, cfo, time_offset):
+    """Planar twin of models.modem.compensate_offsets
+    (src/phy/phy.cpp:147-176): derotate by the estimated CFO, then shift by
+    the rounded integer timing offset with zero fill. The shift is a padded
+    per-row dynamic slice (contiguous, TPU-fast) instead of an element
+    gather — semantics identical."""
+    n, osr = params.n, params.osr
+    count = xr.shape[-1]
+    rate = -jnp.float32(_TWO_PI) * jnp.asarray(cfo, jnp.float32) / (
+        jnp.float32(n) * jnp.float32(osr)
+    )
+    ph = rate[..., None] * jnp.arange(count, dtype=jnp.float32)
+    c, s = jnp.cos(ph), jnp.sin(ph)
+    yr = xr * c - xi * s
+    yi = xr * s + xi * c
+
+    offset = _round_half_away(
+        jnp.asarray(time_offset, jnp.float32)
+    ).astype(jnp.int32)
+    # out[j] = y[j - offset] (zero fill) == padded slice starting at
+    # count - offset; the reference skips the shift when |offset| >= count
+    do_shift = jnp.abs(offset) < count
+    start = jnp.where(do_shift, count - offset, count)
+
+    def shift_one(rowr, rowi, st):
+        pr = jnp.pad(rowr, (count, count))
+        pi = jnp.pad(rowi, (count, count))
+        return (jax.lax.dynamic_slice(pr, (st,), (count,)),
+                jax.lax.dynamic_slice(pi, (st,), (count,)))
+
+    flat_r = yr.reshape(-1, count)
+    flat_i = yi.reshape(-1, count)
+    flat_start = jnp.broadcast_to(start.reshape(-1), (flat_r.shape[0],))
+    sr, si = jax.vmap(shift_one)(flat_r, flat_i, flat_start)
+    return sr.reshape(yr.shape), si.reshape(yi.shape)

@@ -29,10 +29,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..models.modem import _estimate, _round_half_away, _window_table, _sync_from_symbols
 from ..ops.detect import detect
+from ..ops.planar import _estimate_planar, detect_planar
 from ..utils.params import LoraParams
 from .mesh import CHANNEL_AXIS, TIME_AXIS
 
@@ -134,6 +135,124 @@ def _stream_demod_local(x_local, params: LoraParams, backend: str,
 
     det = detect(fft_in, backend=backend)
     return det.index.astype(jnp.uint16), cfo, time_offset
+
+
+def _stream_demod_local_planar(xr, xi, params: LoraParams, time_axis: str):
+    """Planar (re, im float32) twin of :func:`_stream_demod_local` — the
+    same halo-exchange/psum-broadcast/global-index recipe on split planes,
+    so the time-sharded receiver compiles on complex-free TPU PJRTs
+    (the deployment reality, CLAUDE.md). Both planes ride each collective
+    stacked, halving the ppermute count."""
+    n, osr, step = params.n, params.osr, params.step
+    halo = step
+    L = xr.shape[-1]
+    s_per_block = L // step
+    window = _window_table(params)
+
+    t_idx = jax.lax.axis_index(time_axis)
+    t_size = jax.lax.axis_size(time_axis)
+
+    # --- global per-channel amplitude normalisation (LoRaDemod.cpp:59-77) -
+    local_max = jnp.max(
+        jnp.maximum(jnp.abs(xr), jnp.abs(xi)), axis=-1
+    )
+    max_amp = jax.lax.pmax(local_max, time_axis)
+    scale = jnp.where(max_amp > 1.0, 1.0 / max_amp, 1.0).astype(jnp.float32)
+    xr = xr * scale[..., None]
+    xi = xi * scale[..., None]
+
+    # --- overlap-save halo exchange (planes stacked: one ppermute each way)
+    planes = jnp.stack([xr, xi], axis=0)            # [2, ..., L]
+    right_halo = jax.lax.ppermute(
+        planes[..., :halo], time_axis,
+        [(i, (i - 1) % t_size) for i in range(t_size)],
+    )
+    left_halo = jax.lax.ppermute(
+        planes[..., -halo:], time_axis,
+        [(i, (i + 1) % t_size) for i in range(t_size)],
+    )
+    left_halo = jnp.where(t_idx == 0, 0.0, left_halo)
+    right_halo = jnp.where(t_idx == t_size - 1, 0.0, right_halo)
+    ext = jnp.concatenate([left_halo, planes, right_halo], axis=-1)
+
+    # --- frame-head CFO/TO estimate, broadcast from time-shard 0 ----------
+    cfo_l, to_l = _estimate_planar(
+        xr[..., : 2 * step], xi[..., : 2 * step], n, osr, window,
+        tie_break_idx=True,
+    )
+    sel = (t_idx == 0).astype(cfo_l.dtype)
+    cfo = jax.lax.psum(cfo_l * sel, time_axis)
+    time_offset = jax.lax.psum(to_l * sel, time_axis)
+
+    t_off = _round_half_away(time_offset).astype(jnp.int32)
+    rate = (-jnp.float32(_TWO_PI) * cfo / jnp.float32(n)).astype(jnp.float32)
+
+    # --- shifted symbol windows from the extended (haloed) buffer ---------
+    total = t_size * L
+
+    def slice_rows(offset):
+        flat_ext = ext.reshape(-1, ext.shape[-1])
+        off = jnp.broadcast_to(
+            jnp.asarray(offset, jnp.int32).reshape(-1), (flat_ext.shape[0],)
+        )
+        rows = jax.vmap(
+            lambda row, st: jax.lax.dynamic_slice(row, (st,), (L,))
+        )(flat_ext, off)
+        return rows.reshape(*ext.shape[:-1], L)
+
+    def symview(a):
+        v = a.reshape(*a.shape[:-1], s_per_block, n, osr)
+        return v[..., 0]
+
+    base_view = ext[..., halo: halo + L]
+    # offset is per-channel; broadcast across the stacked plane axis
+    off = jnp.clip(t_off + halo, 0, 2 * halo)
+    shift_view = slice_rows(jnp.broadcast_to(off, ext.shape[:-1]))
+
+    s_local = jnp.arange(s_per_block, dtype=jnp.int32)
+    g_base = t_idx.astype(jnp.int32) * L + s_local * step
+    t = t_off[..., None]
+    use_shift = ((t > 0) & (g_base + t + step <= total)) | (
+        (t < 0) & (-t <= g_base)
+    )
+    sym = jnp.where(use_shift[..., None], symview(shift_view), symview(base_view))
+    sr, si = sym[0], sym[1]
+
+    # --- CFO derotation at global symbol index ----------------------------
+    s_global = (t_idx.astype(jnp.float32) * s_per_block
+                + jnp.arange(s_per_block, dtype=jnp.float32)) * jnp.float32(n)
+    start = rate[..., None] * (
+        s_global + t_off.astype(jnp.float32)[..., None] / jnp.float32(osr)
+    )
+    ph = start[..., None] + rate[..., None, None] * jnp.arange(n, dtype=jnp.float32)
+    c, s = jnp.cos(ph), jnp.sin(ph)
+    fr = sr * c - si * s
+    fi = sr * s + si * c
+    if window is not None:
+        w = jnp.asarray(window)
+        fr, fi = fr * w, fi * w
+
+    det = detect_planar(fr, fi, n)
+    return det.index.astype(jnp.uint16), cfo, time_offset
+
+
+@partial(jax.jit, static_argnames=("params", "mesh"))
+def demodulate_stream_planar(xr, xi, params: LoraParams, mesh: Mesh):
+    """Planar twin of :func:`demodulate_stream`: a dechirped continuous
+    stream as (re, im) float32 planes sharded over ``(channel, time)``.
+    Bit-identical symbols to the complex path (tests/test_parallel.py)."""
+    fn = shard_map(
+        partial(_stream_demod_local_planar, params=params,
+                time_axis=TIME_AXIS),
+        mesh=mesh,
+        in_specs=(P(CHANNEL_AXIS, TIME_AXIS), P(CHANNEL_AXIS, TIME_AXIS)),
+        out_specs=(P(CHANNEL_AXIS, TIME_AXIS), P(CHANNEL_AXIS), P(CHANNEL_AXIS)),
+    )
+    syms, cfo, time_offset = fn(xr, xi)
+    sync = _sync_from_symbols(
+        syms[..., 0].astype(jnp.int32), syms[..., 1].astype(jnp.int32), params.sf
+    )
+    return syms, sync, cfo, time_offset
 
 
 @partial(jax.jit, static_argnames=("params", "mesh", "backend"))

@@ -18,8 +18,9 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from lora_phy_tpu.models import modem
+from lora_phy_tpu.ops import planar
 from lora_phy_tpu.parallel import mesh as meshlib
-from lora_phy_tpu.parallel.stream import demodulate_stream
+from lora_phy_tpu.parallel.stream import demodulate_stream, demodulate_stream_planar
 from lora_phy_tpu.ops.impair import apply_time_shift
 from lora_phy_tpu.utils.params import LoraParams
 
@@ -84,6 +85,67 @@ def test_time_sharded_with_timing_shift(devices):
         np.asarray(syms)[..., 2:], np.asarray(ref.symbols)
     )
     np.testing.assert_allclose(np.asarray(to), np.asarray(ref.time_offset), atol=1e-5)
+
+
+@pytest.mark.parametrize("layout", [(1, 8), (2, 4)])
+def test_planar_time_sharded_stream_equals_single(devices, layout):
+    """The complex-free (deployment) streaming receiver: same halo/psum
+    recipe on (re, im) planes, bit-exact vs the single-device demod."""
+    n_ch, n_t = layout
+    p = LoraParams(sf=7)
+    m = meshlib.make_mesh(n_channel=n_ch, n_time=n_t, devices=devices)
+    payloads, dech = _make_stream(p, n_ch, payload_len=31)
+    ref = modem.demodulate(dech, p)
+
+    re, im = planar.split_complex(dech)
+    sh = meshlib.stream_sharding(m)
+    syms, sync, cfo, to = demodulate_stream_planar(
+        jax.device_put(re, sh), jax.device_put(im, sh), p, m
+    )
+    np.testing.assert_array_equal(
+        np.asarray(syms)[..., 2:], np.asarray(ref.symbols)
+    )
+    np.testing.assert_array_equal(np.asarray(sync), np.asarray(ref.sync_word))
+    np.testing.assert_allclose(np.asarray(cfo), np.asarray(ref.cfo), atol=1e-6)
+
+
+def test_planar_time_sharded_with_timing_shift(devices):
+    """Timing shift forces the planar halo exchange across shard seams."""
+    p = LoraParams(sf=7)
+    m = meshlib.make_mesh(n_channel=2, n_time=4, devices=devices)
+    payloads, dech = _make_stream(p, 2, payload_len=31)
+    shifted = np.asarray(apply_time_shift(dech, 3))
+    ref = modem.demodulate(shifted, p)
+
+    re, im = planar.split_complex(shifted)
+    sh = meshlib.stream_sharding(m)
+    syms, sync, cfo, to = demodulate_stream_planar(
+        jax.device_put(re, sh), jax.device_put(im, sh), p, m
+    )
+    np.testing.assert_array_equal(
+        np.asarray(syms)[..., 2:], np.asarray(ref.symbols)
+    )
+    np.testing.assert_allclose(np.asarray(to), np.asarray(ref.time_offset),
+                               atol=1e-5)
+
+
+def test_planar_full_chain_on_mesh(devices):
+    """TX -> dechirp -> time-sharded planar demod, all complex-free: the
+    end-to-end program a real multi-chip axon mesh would run."""
+    p = LoraParams(sf=7)
+    m = meshlib.make_mesh(n_channel=2, n_time=4, devices=devices)
+    rng = np.random.RandomState(2)
+    payloads = rng.randint(0, 256, (2, 31)).astype(np.uint8)
+    syms_tx = modem.encode(payloads)
+    re, im = planar.modulate_planar(syms_tx, p)
+    dr, di = planar.dechirp_planar(re, im, p)
+    sh = meshlib.stream_sharding(m)
+    syms, sync, _, _ = demodulate_stream_planar(
+        jax.device_put(np.asarray(dr), sh), jax.device_put(np.asarray(di), sh), p, m
+    )
+    out = np.asarray(modem.decode(np.asarray(syms)[..., 2:]))
+    np.testing.assert_array_equal(out, payloads)
+    assert np.all(np.asarray(sync) == p.sync_word)
 
 
 def test_amplitude_normalisation_collective(devices):
