@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from ..ops.chirp import base_downchirp, gen_chirp, modulate_symbols
 from ..ops.detect import detect
 from ..utils.params import LoraParams
-from . import modem
+from . import modem, sync
 
 QUARTER_DEN = 4  # 2.25 downchirps: 2 full + step/4 samples
 
@@ -81,70 +81,40 @@ class FrameSyncResult(NamedTuple):
 
 
 def frame_sync(stream, params: LoraParams, preamble_len: int = 8) -> FrameSyncResult:
-    """Locate a frame in a continuous stream (single channel, host-side
-    decision logic over device-computed detections).
+    """Locate the first frame in a continuous stream (single channel).
 
-    Vectorized two-sided dechirp: one batched FFT over all symbol-aligned
-    windows for each of up/down dechirp, then a run-length scan for the
-    preamble's repeated bin.
+    The entire scan — two-sided dechirp, batched FFT bins, preamble
+    run-length detection, downchirp pairing, timing/CFO split — runs in ONE
+    device call (models/sync.frame_sync_scan_planar); the host only reads
+    the per-window candidate arrays and picks the first valid one.
     """
-    stream = jnp.asarray(stream)
-    n, osr, step = params.n, params.osr, params.step
+    stream = np.asarray(stream)
+    step = params.step
     nwin = int(stream.shape[-1]) // step
     if nwin < preamble_len + 5:
         return FrameSyncResult(False, 0, 0, 0)
-    x = stream[..., : nwin * step].reshape(nwin, step)
+    res = first_candidate(
+        sync.frame_sync_scan_planar(
+            np.ascontiguousarray(stream.real.astype(np.float32)),
+            np.ascontiguousarray(stream.imag.astype(np.float32)),
+            params, preamble_len,
+        )
+    )
+    if res is None:
+        return FrameSyncResult(False, 0, 0, 0)
+    start, cfo_bins = res
+    payload_start = start + frame_overhead_samples(params, preamble_len)
+    return FrameSyncResult(True, start, cfo_bins, payload_start)
 
-    down = base_downchirp(params.sf, params.scale, params.osr)
-    up = jnp.conj(down)
-    up_bins = detect((x * down).reshape(nwin, n, osr)[:, :, 0]).index
-    dn_bins = detect((x * up).reshape(nwin, n, osr)[:, :, 0]).index
 
-    ub = np.asarray(up_bins)
-    db = np.asarray(dn_bins)
-
-    def signed(b):
-        return b - n if b > n // 2 else b
-
-    # run-detect the preamble: >= preamble_len-2 consecutive equal up-bins
-    need = max(2, preamble_len - 2)
-    run = 1
-    w = 1
-    while w < nwin:
-        run = run + 1 if ub[w] == ub[w - 1] else 1
-        if run >= need:
-            # extend the run forward to its end
-            end = w
-            while end + 1 < nwin and ub[end + 1] == ub[end]:
-                end += 1
-            bin_up = signed(int(ub[end]))
-            # the 2.25-symbol downchirp section follows the 2 sync symbols;
-            # its two fully-covered windows dechirp (by up) to equal bins
-            dwin = None
-            for c in range(end + 1, min(end + 6, nwin - 1)):
-                if db[c] == db[c + 1]:
-                    dwin = c
-                    break
-            if dwin is None:
-                w = end + 1
-                continue
-            bin_dn = signed(int(db[dwin]))
-
-            # classic split: bin_up ~ cfo - tau, bin_dn ~ cfo + tau
-            tau = int(round((bin_dn - bin_up) / 2.0)) * osr
-            cfo_bins = int(round((bin_dn + bin_up) / 2.0))
-            # `end` is the last window of the equal-bin run; the frame's
-            # first preamble sample sits at the start of the run's first
-            # *full* window plus tau (tau's sign folds the partial-window
-            # ambiguity consistently — validated over offsets 0..step-1)
-            start = (end - preamble_len + 1) * step + tau
-            if start < 0:
-                w = end + 1
-                continue
-            payload_start = start + frame_overhead_samples(params, preamble_len)
-            return FrameSyncResult(True, start, cfo_bins, payload_start)
-        w += 1
-    return FrameSyncResult(False, 0, 0, 0)
+def first_candidate(scan) -> tuple[int, int] | None:
+    """(start, cfo_bins) of the first valid candidate in a 1-D SyncScan."""
+    valid = np.asarray(scan.valid)
+    hits = np.flatnonzero(valid)
+    if hits.size == 0:
+        return None
+    w = int(hits[0])
+    return int(np.asarray(scan.start)[w]), int(np.asarray(scan.cfo_bins)[w])
 
 
 def frame_demodulate(stream, params: LoraParams, n_payload_symbols: int,

@@ -1,0 +1,148 @@
+"""Device-side batched frame synchronisation.
+
+The reference has no frame sync at all (SURVEY.md §5.7: whole-buffer,
+frame-aligned input assumed); models/stream.py adds the classic two-sided
+dechirp detector. This module is its TPU-native core: the entire scan —
+symbol-window dechirp (up and down), FFT bins, preamble run-length
+detection, downchirp-section pairing, timing/CFO split and validity — runs
+as ONE jit over ``[..., channels, windows]``, with no per-window host
+round-trips. Run lengths come from a cumulative-max trick instead of the
+serial scan:
+
+    eq[w]   = bin[w] == bin[w-1]
+    last_false[w] = cummax_w( where(eq, -1, w) )
+    run[w]  = 1 + w - last_false[w]          # consecutive equal windows
+
+Host code then reads the tiny per-window candidate arrays once and picks
+frames — frame bookkeeping is the only thing left off-device.
+
+Works on planar (re, im) float32 planes, so the synchroniser compiles on
+complex-free TPU PJRTs (the deployment reality, CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.chirp import base_downchirp_planar
+from ..ops.planar import detect_planar
+from ..utils.params import LoraParams
+
+# NOTE: no module-level jnp constants — creating a device array at import
+# time initializes the default backend before CLI entry points can pin CPU
+# (runners/_cli.use_cpu), silently undoing the pin.
+
+
+class SyncScan(NamedTuple):
+    """Per-window candidate fields, leading dims = input batch dims.
+
+    A window ``w`` with ``valid[w]`` marks the END of a preamble run whose
+    frame starts at sample ``start[w]`` with integer-CFO ``cfo_bins[w]``.
+    """
+
+    valid: jnp.ndarray      # [..., W] bool
+    start: jnp.ndarray      # [..., W] int32 sample index of frame start
+    cfo_bins: jnp.ndarray   # [..., W] int32
+    tau: jnp.ndarray        # [..., W] int32 timing offset (samples)
+    up_bins: jnp.ndarray    # [..., W] int32 raw up-dechirp argmax bins
+    dn_bins: jnp.ndarray    # [..., W] int32 raw down-dechirp argmax bins
+
+
+def _signed_bin(b, n: int):
+    return jnp.where(b > n // 2, b - n, b).astype(jnp.int32)
+
+
+def _round_half_even(x):
+    # python round() semantics for the k/2 splits (k integer): jnp.round
+    # is half-to-even, same as the host implementation used
+    return jnp.round(x).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("params", "preamble_len"))
+def frame_sync_scan_planar(xr, xi, params: LoraParams,
+                           preamble_len: int = 8) -> SyncScan:
+    """Batched two-sided dechirp frame scan over ``[..., T]`` planes."""
+    n, osr, step = params.n, params.osr, params.step
+    nwin = xr.shape[-1] // step
+    lead = xr.shape[:-1]
+
+    ar = xr[..., : nwin * step].reshape(*lead, nwin, step)
+    ai = xi[..., : nwin * step].reshape(*lead, nwin, step)
+
+    dr, di = base_downchirp_planar(params.sf, params.scale, params.osr)
+    dr, di = jnp.asarray(dr), jnp.asarray(di)
+
+    # up-dechirp (x * down) and down-dechirp (x * conj(down)), decimated
+    def bins_of(pr, pi):
+        v_r = pr.reshape(*lead, nwin, n, osr)[..., 0]
+        v_i = pi.reshape(*lead, nwin, n, osr)[..., 0]
+        return detect_planar(v_r, v_i, n).index
+
+    ub = bins_of(ar * dr - ai * di, ar * di + ai * dr)
+    db = bins_of(ar * dr + ai * di, ai * dr - ar * di)
+
+    # --- preamble run lengths (vectorized run-detect) ---------------------
+    w_idx = jnp.arange(nwin, dtype=jnp.int32)
+    eq = jnp.concatenate(
+        [jnp.zeros(lead + (1,), bool), ub[..., 1:] == ub[..., :-1]], axis=-1
+    )
+    last_false = jax.lax.cummax(
+        jnp.where(eq, jnp.int32(-1), w_idx).astype(jnp.int32), axis=len(lead)
+    )
+    run = 1 + w_idx - last_false                      # [..., W]
+
+    need = max(2, preamble_len - 2)
+    eq_next = jnp.concatenate(
+        [eq[..., 1:], jnp.zeros(lead + (1,), bool)], axis=-1
+    )
+    is_end = (run >= need) & ~eq_next                 # maximal-run ends
+
+    # --- downchirp section: first c in [end+1, end+5] with db[c]==db[c+1] -
+    db_eq = jnp.concatenate(
+        [db[..., 1:] == db[..., :-1], jnp.zeros(lead + (1,), bool)], axis=-1
+    )                                                 # db_eq[c] = db[c]==db[c+1]
+
+    def shift_left(a, o):
+        pad = jnp.zeros(lead + (o,), a.dtype)
+        return jnp.concatenate([a[..., o:], pad], axis=-1)
+
+    # five static shifts (the host scan's range(end+1, end+6)) instead of a
+    # dynamic gather — O(5W) and fully fused
+    hit = jnp.stack(
+        [shift_left(db_eq, o) & (w_idx + o < nwin - 1) for o in range(1, 6)],
+        axis=-1,
+    )                                                 # [..., W, 5]
+    db_at = jnp.stack(
+        [shift_left(db, o) for o in range(1, 6)], axis=-1
+    )
+    has_dwin = jnp.any(hit, axis=-1)
+    first = jnp.argmax(hit, axis=-1)                  # first matching offset
+    bin_dn_raw = jnp.take_along_axis(db_at, first[..., None], axis=-1)[..., 0]
+
+    bin_up = _signed_bin(ub, n)
+    bin_dn = _signed_bin(bin_dn_raw, n)
+    # bin n/2 is sign-ambiguous (+n/2 == -n/2 mod n); the two-sided split
+    # then aliases tau=+/-step/2 against cfo=-/+n/2. Resolve with the
+    # physical prior of minimal |cfo| (real CFO << bw/2) by flipping the
+    # ambiguous bin(s) when that reduces |bin_up + bin_dn|.
+    half = n // 2
+    bu_alt = jnp.where(ub == half, bin_up - n, bin_up)
+    bd_alt = jnp.where(bin_dn_raw == half, bin_dn - n, bin_dn)
+    cands_u = jnp.stack([bin_up, bin_up, bu_alt, bu_alt], axis=-1)
+    cands_d = jnp.stack([bin_dn, bd_alt, bin_dn, bd_alt], axis=-1)
+    best = jnp.argmin(jnp.abs(cands_u + cands_d), axis=-1)[..., None]
+    bin_up = jnp.take_along_axis(cands_u, best, axis=-1)[..., 0]
+    bin_dn = jnp.take_along_axis(cands_d, best, axis=-1)[..., 0]
+
+    tau = _round_half_even((bin_dn - bin_up) / 2.0) * osr
+    cfo_bins = _round_half_even((bin_dn + bin_up) / 2.0)
+    start = (w_idx - preamble_len + 1) * step + tau
+    valid = is_end & has_dwin & (start >= 0)
+    return SyncScan(valid, start, cfo_bins, tau,
+                    ub.astype(jnp.int32), db.astype(jnp.int32))

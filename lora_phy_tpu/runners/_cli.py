@@ -81,5 +81,9 @@ def use_cpu() -> None:
 
     try:
         jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
+    except Exception as e:
+        # happens when a backend was already initialized (e.g. a module-level
+        # device array) — the tool then runs on the default accelerator,
+        # which breaks on complex-free PJRTs; be loud about it
+        print(f"warning: could not pin CPU backend ({e}); "
+              "running on the default platform", file=sys.stderr)

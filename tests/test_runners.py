@@ -182,3 +182,26 @@ def test_tx_rx_nondefault_params(tmp_path, capsys):
     # and Hamming84 corrects the dropped MSB exactly as at BW125 — the
     # payload still decodes through the simple chain
     assert len(out) == 8
+
+
+def test_imports_do_not_initialize_backend(tmp_path):
+    """Importing the package (models, runners) must not create device
+    arrays: a backend initialized at import time silently defeats the CLI
+    CPU pin (runners/_cli.use_cpu) on complex-free TPU PJRTs."""
+    import pathlib
+    import subprocess
+    import sys
+
+    code = (
+        "import lora_phy_tpu.models.gr_interop, lora_phy_tpu.models.sync, "
+        "lora_phy_tpu.models.stream, lora_phy_tpu.runners.gr_decode, "
+        "lora_phy_tpu.runners.tx_runner, lora_phy_tpu.ops.planar\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"  # raises if initialized
+        "print(jax.default_backend())\n"
+    )
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    out = subprocess.run([sys.executable, "-c", code], cwd=repo,
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip().endswith("cpu")
