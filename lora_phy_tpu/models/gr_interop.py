@@ -79,19 +79,85 @@ class GrFrame:
     cfo_bins: int
 
 
-def decode_frame(samples, params: LoraParams, preamble_len: int = 8):
+# --- gr bin <-> interleaver-word maps (capture-validated conventions) ----
+# reduced-rate blocks (the first block, and every block under LDRO): the
+# two LSBs carry no data, no bin offset; full-rate blocks carry the gr
+# demodulator's -1 bin offset.
+
+def _rx_words_reduced(bins, n):
+    return np.asarray(coding.binary_to_gray(((bins % n) >> 2).astype(np.uint16)))
+
+
+def _tx_bins_reduced(words, n):
+    return (np.asarray(coding.gray_to_binary(words.astype(np.uint16))) << 2) % n
+
+
+def _rx_words_full(bins, n):
+    return np.asarray(coding.binary_to_gray(((bins - 1) % n).astype(np.uint16)))
+
+
+def _tx_bins_full(words, n):
+    return (np.asarray(coding.gray_to_binary(words.astype(np.uint16))) + 1) % n
+
+
+def _fec_encode(nibbles, cr):
+    if cr == 1:
+        return coding.parity54_encode(nibbles)
+    if cr == 2:
+        return coding.parity64_encode(nibbles)
+    if cr == 3:
+        return coding.hamming74_encode(nibbles)
+    return coding.hamming84_encode(nibbles)
+
+
+def _fec_decode(cw, cr):
+    if cr == 1:
+        return coding.parity54_check(cw)
+    if cr == 2:
+        return coding.parity64_check(cw)
+    if cr == 3:
+        return coding.hamming74_decode(cw)
+    nib, err, _ = coding.hamming84_decode(cw)
+    return nib, err
+
+
+def payload_block_plan(sf: int, cr: int, length: int, crc: bool,
+                       ldro: bool, implicit: bool):
+    """gr-lora_sdr frame geometry: the first block is always reduced rate
+    (PPM = sf-2, CR 4/8, 8 symbols) and carries either the 5 header
+    nibbles plus ``sf-7`` payload nibbles (explicit header) or ``sf-2``
+    payload nibbles (implicit); subsequent blocks run at PPM = sf (sf-2
+    under LDRO) and 4+cr symbols. Returns
+    ``(nibbles_in_first, ppm_rest, n_rest_blocks, total_payload_nibbles)``."""
+    total_nibbles = 2 * (length + (2 if crc else 0))
+    in_first = (sf - 2) if implicit else (sf - 2 - 5)
+    in_first = max(0, min(in_first, total_nibbles))
+    ppm_rest = (sf - 2) if ldro else sf
+    rest = total_nibbles - in_first
+    n_rest_blocks = -(-rest // ppm_rest) if rest else 0
+    return in_first, ppm_rest, n_rest_blocks, total_nibbles
+
+
+def decode_frame(samples, params: LoraParams, preamble_len: int = 8,
+                 ldro: bool = False, implicit: bool = False,
+                 length: int | None = None, cr: int | None = None,
+                 crc: bool | None = None):
     """Detect and decode one gr-lora_sdr frame from a continuous stream.
 
-    Returns ``GrFrame`` or ``None`` when no frame is found.
+    ``ldro``/``implicit`` select the capture-naming cells
+    (``ldro_{false,true}...implheader_{false,true}``, reference:
+    vectors_binary/ naming). Implicit-header mode has no in-band header,
+    so ``length``/``cr``/``crc`` must be supplied (the gr receiver is
+    configured the same way). Returns ``GrFrame`` or ``None``.
     """
     sf = params.sf
     n = params.n
+    if implicit and (length is None or cr is None or crc is None):
+        raise ValueError("implicit header needs length, cr and crc")
 
     res = stream.frame_sync(samples, params, preamble_len)
     if not res.found:
         return None
-
-    # demodulate enough symbols for header + max payload
     avail = (np.asarray(samples).shape[-1] - res.payload_start) // params.step
     if avail < 8:
         return None
@@ -100,48 +166,56 @@ def decode_frame(samples, params: LoraParams, preamble_len: int = 8):
         return None
     bins = np.asarray(out.symbols).astype(np.int64)
 
-    # --- header: first 8 symbols, reduced rate (PPM = sf-2), CR 4/8 ------
-    hv = ((bins[:8] - 0) % n) >> 2      # low 2 bits carry no data
-    hw = np.asarray(coding.binary_to_gray(hv.astype(np.uint16)))
-    hcw = np.asarray(coding.diagonal_deinterleave(hw.astype(np.uint16), sf - 2, 4))
-    hnib, _, _ = coding.hamming84_decode(hcw)
-    hnib = np.asarray(hnib)
-    length = int((hnib[0] << 4) | hnib[1])
-    flags = int(hnib[2])
-    cr = (flags >> 1) & 0x7
-    has_crc = bool(flags & 1)
-    chk = ((int(hnib[3]) & 0x1) << 4) | int(hnib[4])
-    h = np.array([length & 0xFF, flags & 0x0F], dtype=np.uint8)
-    header_ok = chk == int(np.asarray(coding.header_checksum(h)))
-    if cr < 1 or cr > 4 or length == 0:
-        return GrFrame(b"", length, cr, has_crc, b"", False, header_ok, 0,
-                       res.start, res.cfo_bins)
+    # --- first block: 8 symbols, reduced rate (PPM = sf-2), CR 4/8 -------
+    w0 = _rx_words_reduced(bins[:8], n)
+    cw0 = np.asarray(coding.diagonal_deinterleave(w0.astype(np.uint16), sf - 2, 4))
+    nib0, err0 = _fec_decode(cw0, 4)
+    nib0 = np.asarray(nib0)
+    fec_errors = int(np.asarray(err0).sum())
 
-    # --- payload: full rate, PPM = sf, RDD = cr --------------------------
-    total_bytes = length + (2 if has_crc else 0)
-    nibble_count = total_bytes * 2
-    blocks = -(-nibble_count // sf)
-    nsym = blocks * (4 + cr)
+    header_ok = True
+    if implicit:
+        has_crc = bool(crc)
+        first_payload_nib = nib0
+    else:
+        length = int((nib0[0] << 4) | nib0[1])
+        flags = int(nib0[2])
+        cr = (flags >> 1) & 0x7
+        has_crc = bool(flags & 1)
+        chk = ((int(nib0[3]) & 0x1) << 4) | int(nib0[4])
+        h = np.array([length & 0xFF, flags & 0x0F], dtype=np.uint8)
+        header_ok = chk == int(np.asarray(coding.header_checksum(h)))
+        first_payload_nib = nib0[5:]
+        if cr < 1 or cr > 4 or length == 0:
+            return GrFrame(b"", length, cr, has_crc, b"", False, header_ok, 0,
+                           res.start, res.cfo_bins)
+
+    in_first, ppm_rest, n_rest, total_nibbles = payload_block_plan(
+        sf, cr, length, has_crc, ldro, implicit
+    )
+
+    # --- remaining blocks: PPM = sf (sf-2 under LDRO), RDD = cr ----------
+    nsym = n_rest * (4 + cr)
     pay_bins = bins[8: 8 + nsym]
     if pay_bins.shape[-1] < nsym:
         return None
-    v = (pay_bins - 1) % n
-    w = np.asarray(coding.binary_to_gray(v.astype(np.uint16)))
-    cw = np.asarray(coding.diagonal_deinterleave(w.astype(np.uint16), sf, cr))
-    if cr == 1:
-        nib, err = coding.parity54_check(cw)
-    elif cr == 2:
-        nib, err = coding.parity64_check(cw)
-    elif cr == 3:
-        nib, err = coding.hamming74_decode(cw)
+    if nsym:
+        w = (_rx_words_reduced(pay_bins, n) if ldro
+             else _rx_words_full(pay_bins, n))
+        cwp = np.asarray(
+            coding.diagonal_deinterleave(w.astype(np.uint16), ppm_rest, cr)
+        )
+        nibp, errp = _fec_decode(cwp, cr)
+        nibp = np.asarray(nibp)
+        fec_errors += int(np.asarray(errp).sum())
     else:
-        nib, err, _ = coding.hamming84_decode(cw)
-    nib = np.asarray(nib)[:nibble_count]
-    fec_errors = int(np.asarray(err).sum())
+        nibp = np.zeros(0, np.uint8)
 
+    nib = np.concatenate([first_payload_nib[:in_first], nibp])[:total_nibbles]
     # gr nibble order is low-then-high within each byte
     swapped = nib.reshape(-1, 2)[:, ::-1].reshape(-1)
     data = np.asarray(coding.nibbles_to_bytes(swapped))
+    total_bytes = length + (2 if has_crc else 0)
     payload = whiten_gr_lora(data[:length]).tobytes()
     crc_bytes = data[length:total_bytes].tobytes() if has_crc else b""
     crc_ok = bool(
@@ -153,55 +227,60 @@ def decode_frame(samples, params: LoraParams, preamble_len: int = 8):
 
 
 def encode_frame(payload: bytes, params: LoraParams, cr: int = 1,
-                 crc: bool = True, preamble_len: int = 8):
+                 crc: bool = True, preamble_len: int = 8,
+                 ldro: bool = False, implicit: bool = False):
     """Build a gr-lora_sdr-convention frame for ``payload``: the exact
-    inverse of :func:`decode_frame` (header block at PPM=sf-2/CR4/8,
-    payload whitened with the gr LFSR, low-high nibble order, Gray +1 bin
-    mapping), wrapped in the standard preamble/sync/2.25-downchirp frame.
-
-    Returns complex64 IQ samples.
+    inverse of :func:`decode_frame` across all four
+    ``ldro`` x ``implheader`` cells (reduced-rate first block carrying
+    header+payload or pure payload, gr whitening LFSR, low-high nibble
+    order, per-block bin maps), wrapped in the standard
+    preamble/sync/2.25-downchirp frame. Returns complex64 IQ samples.
     """
     sf = params.sf
     n = params.n
     length = len(payload)
 
-    # --- header block ----------------------------------------------------
-    flags = ((cr & 0x7) << 1) | int(crc)
-    h = np.array([length & 0xFF, flags & 0x0F], dtype=np.uint8)
-    chk = int(np.asarray(coding.header_checksum(h)))
-    hnib = np.zeros(sf - 2, dtype=np.uint8)
-    hnib[:5] = [length >> 4, length & 0xF, flags & 0xF, (chk >> 4) & 0x1,
-                chk & 0xF]
-    hcw = np.asarray(coding.hamming84_encode(hnib))
-    hw = np.asarray(coding.diagonal_interleave(hcw, sf - 2, 4))
-    hbins = (np.asarray(coding.gray_to_binary(hw.astype(np.uint16))) << 2) % n
-
-    # --- payload block(s) ------------------------------------------------
+    # --- payload nibble stream (whitened payload + raw CRC trailer) ------
     data = np.frombuffer(payload, dtype=np.uint8)
     if crc:
         c = crc16_gr_lora(payload)
         trailer = np.array([c & 0xFF, c >> 8], dtype=np.uint8)
     else:
         trailer = np.zeros(0, np.uint8)
-    whitened = whiten_gr_lora(data)
-    framed = np.concatenate([whitened, trailer])
+    framed = np.concatenate([whiten_gr_lora(data), trailer])
     nibbles = np.asarray(coding.bytes_to_nibbles(framed))
-    # gr nibble order: low then high
-    nibbles = nibbles.reshape(-1, 2)[:, ::-1].reshape(-1)
-    blocks = -(-len(nibbles) // sf)
-    pad = blocks * sf - len(nibbles)
-    if pad:
-        nibbles = np.concatenate([nibbles, np.zeros(pad, np.uint8)])
-    if cr == 1:
-        cw = coding.parity54_encode(nibbles)
-    elif cr == 2:
-        cw = coding.parity64_encode(nibbles)
-    elif cr == 3:
-        cw = coding.hamming74_encode(nibbles)
-    else:
-        cw = coding.hamming84_encode(nibbles)
-    w = np.asarray(coding.diagonal_interleave(np.asarray(cw), sf, cr))
-    pbins = (np.asarray(coding.gray_to_binary(w.astype(np.uint16))) + 1) % n
+    nibbles = nibbles.reshape(-1, 2)[:, ::-1].reshape(-1)   # low then high
 
-    symbols = np.concatenate([hbins, pbins]).astype(np.uint16)
+    in_first, ppm_rest, n_rest, total_nibbles = payload_block_plan(
+        sf, cr, length, crc, ldro, implicit
+    )
+
+    # --- first block (reduced rate, CR 4/8) ------------------------------
+    nib0 = np.zeros(sf - 2, dtype=np.uint8)
+    if implicit:
+        nib0[:in_first] = nibbles[:in_first]
+    else:
+        flags = ((cr & 0x7) << 1) | int(crc)
+        h = np.array([length & 0xFF, flags & 0x0F], dtype=np.uint8)
+        chk = int(np.asarray(coding.header_checksum(h)))
+        nib0[:5] = [length >> 4, length & 0xF, flags & 0xF, (chk >> 4) & 0x1,
+                    chk & 0xF]
+        nib0[5:5 + in_first] = nibbles[:in_first]
+    cw0 = np.asarray(coding.hamming84_encode(nib0))
+    w0 = np.asarray(coding.diagonal_interleave(cw0, sf - 2, 4))
+    bins0 = _tx_bins_reduced(w0, n)
+
+    # --- remaining blocks ------------------------------------------------
+    rest = nibbles[in_first:]
+    pad = n_rest * ppm_rest - rest.size
+    if pad:
+        rest = np.concatenate([rest, np.zeros(pad, np.uint8)])
+    if rest.size:
+        cw = np.asarray(_fec_encode(rest, cr))
+        w = np.asarray(coding.diagonal_interleave(cw, ppm_rest, cr))
+        pbins = _tx_bins_reduced(w, n) if ldro else _tx_bins_full(w, n)
+    else:
+        pbins = np.zeros(0, np.int64)
+
+    symbols = np.concatenate([bins0, pbins]).astype(np.uint16)
     return stream.frame_modulate(symbols, params, preamble_len=preamble_len)

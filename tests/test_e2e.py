@@ -301,3 +301,32 @@ def test_gr_capture_all_frames(reference_dir):
     assert len(payloads) >= 10
     for i, payload in enumerate(payloads):
         assert payload == f"hello world: {i}".encode()
+
+
+@pytest.mark.parametrize("sf", [7, 8, 10, 12])
+@pytest.mark.parametrize("ldro", [False, True])
+@pytest.mark.parametrize("implicit", [False, True])
+def test_gr_interop_cell_matrix(sf, ldro, implicit):
+    """All four ldro x implheader cells of the gr-lora_sdr capture naming
+    convention (reference: vectors_binary/ 'ldro_false..._implheader_false'
+    naming), across SFs: TX -> RX round trip with CRC verification.
+    SF>7 explicit headers carry payload spillover nibbles in the
+    reduced-rate first block, as gr does."""
+    from lora_phy_tpu.models import gr_interop
+
+    p = LoraParams(sf=sf)
+    payload = b"cell \x00matrix\xff!"
+    for cr in (1, 4):
+        iq = np.asarray(gr_interop.encode_frame(
+            payload, p, cr=cr, crc=True, ldro=ldro, implicit=implicit))
+        sig = np.concatenate([np.zeros(3 * p.step, np.complex64), iq,
+                              np.zeros(3 * p.step, np.complex64)])
+        kw = (dict(length=len(payload), cr=cr, crc=True)
+              if implicit else {})
+        frame = gr_interop.decode_frame(sig, p, ldro=ldro,
+                                        implicit=implicit, **kw)
+        assert frame is not None and frame.header_ok
+        assert frame.length == len(payload) and frame.cr == cr
+        assert frame.payload == payload
+        assert frame.crc_ok
+        assert frame.fec_errors == 0
