@@ -78,3 +78,57 @@ def test_planar_simulation_matches_complex():
     mid_c = awgn.simulate(7, "4/5", -13.0, packets=200, payload_len=8, seed=2)
     mid_p = awgn.simulate_planar(7, "4/5", -13.0, packets=200, payload_len=8, seed=2)
     assert abs(mid_c.per - mid_p.per) < 0.15
+
+
+def _knee_db(snrs, pers, level=0.5):
+    """First PER=level crossing, linearly interpolated."""
+    for i in range(1, len(snrs)):
+        a, b = pers[i - 1], pers[i]
+        if a >= level > b:
+            return snrs[i - 1] + (a - level) / (a - b) * (snrs[i] - snrs[i - 1])
+    return None
+
+
+@pytest.mark.parametrize("sf,snrs", [
+    (7, [-13.0, -12.0, -11.0, -10.0, -9.0, -8.0]),
+    (8, [-15.0, -14.0, -13.0, -12.0, -11.0, -10.0]),
+])
+def test_waterfall_knee_matches_reference_model(reference_dir, sf, snrs):
+    """Quantitative curve-shape parity: the PER=0.5 knee of our batched
+    Monte Carlo must sit within 1 dB of the reference's own Python model
+    (reference: tests/awgn_sweep.py:245-285) run at the same points, and
+    the per-point PERs must agree within Monte Carlo tolerance. A
+    regression shifting the waterfall by >1 dB fails here."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_awgn_sweep", reference_dir / "tests" / "awgn_sweep.py"
+    )
+    ref = importlib.util.module_from_spec(spec)
+    sys.modules["ref_awgn_sweep"] = ref   # @dataclass needs the module registered
+    spec.loader.exec_module(ref)
+
+    packets = 250
+    up, down = ref.make_chirps(sf)
+    np.random.seed(0)
+    ref_pers = [ref.simulate(sf, "4/5", s, packets, 8, up, down)[1]
+                for s in snrs]
+    our_pers = [awgn.simulate(sf, "4/5", s, packets=packets, payload_len=8,
+                              seed=1).per for s in snrs]
+
+    ref_knee = _knee_db(snrs, ref_pers)
+    our_knee = _knee_db(snrs, our_pers)
+    assert ref_knee is not None, (snrs, ref_pers)
+    assert our_knee is not None, (snrs, our_pers)
+    assert abs(our_knee - ref_knee) <= 1.0, (ref_knee, our_knee)
+    for s, rp, op in zip(snrs, ref_pers, our_pers):
+        assert abs(rp - op) <= 0.15, (s, rp, op)
+
+
+@pytest.mark.parametrize("cr", ["4/5", "4/6", "4/7", "4/8"])
+def test_per_zero_at_12db_all_crs(cr):
+    """PER @ 12 dB == 0 across every coding rate (the reference gate,
+    awgn_sweep_gtest.cpp:55-105, extended to all CRs)."""
+    pt = awgn.simulate(7, cr, 12.0, packets=50, payload_len=16, seed=4)
+    assert pt.per == 0.0 and pt.ber == 0.0
