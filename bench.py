@@ -1,44 +1,66 @@
 #!/usr/bin/env python3
-"""Headline benchmark: batched multi-channel LoRa demodulation throughput.
+"""Headline benchmark: batched multi-channel LoRa demodulation throughput,
+with secondary TX (modulation), frame-sync-scan and SF12 metrics.
 
 Workload (a superset of BASELINE.json configs[3]'s 8x1024): 8 channels x
 8192 frames of 32-byte payloads at SF7 BW125 osr1 -> 66 symbols x 128
-samples = 8448 IQ samples per frame, 554M IQ samples per step,
-demodulated through the full working path (normalisation, 2-symbol CFO/TO estimate with deterministic
-tie-breaks, shifted gather, derotation, MXU DFT, argmax, sync extraction).
+samples = 8448 IQ samples per frame, 554M IQ samples per step. The WHOLE
+pipeline runs on-device in planar float32 (this image's TPU PJRT
+implements no complex64; planar split re/im is the TPU-native layout
+regardless): payload tiling + encode + integer-lattice chirp TX +
+dechirp feed the demod step, so no host-side signal generation or slow
+relay uploads are on any path.
 
-Runs the planar float32 pipeline — the TPU deployment path (this image's
-TPU PJRT implements no complex64; planar split re/im is the TPU-native
-layout regardless).
+Headline metric: the working demod path on dechirped input
+(normalisation, 2-symbol CFO/TO estimate with deterministic tie-breaks,
+shifted gather, derotation, MXU DFT, argmax, sync extraction) — same
+contract as round 1.
 
 Baseline: the reference's single-core C++ loop demodulates ~2.01e7 IQ
-samples/s (BASELINE.md, derived from logs/performance_run2.csv SF7 row:
-2377.87 pps x 66 symbols x 128 samples).
+samples/s (BASELINE.md, logs/performance_run2.csv SF7 row); its TX hot
+loop (genChirp, ChirpGenerator.hpp:23-50) generates the same ~2.0e7.
+
+Regression gate: if logs/bench_baseline.json exists, throughput below
+0.85x any recorded metric marks "regressed": true and logs loudly.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...,
+   "tx_gsps": ..., "sync_scan_gsps": ..., "sf12_gsps": ..., "regressed": ...}
 """
 
 from __future__ import annotations
 
 import json
 import os
+import pathlib
 import sys
 import time
 
 import numpy as np
 
 BASELINE_IQ_SAMPLES_PER_S = 2377.87 * 66 * 128  # ~2.009e7 (BASELINE.md)
+BASELINE_FILE = pathlib.Path(__file__).parent / "logs" / "bench_baseline.json"
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _timeit(fn, sync, iters):
+    fn(); sync()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fn()
+    sync()
+    return (time.perf_counter() - t0) / iters
+
+
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from lora_phy_tpu.models import modem
+    from lora_phy_tpu.models import sync as syncmod
     from lora_phy_tpu.ops import planar
     from lora_phy_tpu.utils.params import LoraParams
 
@@ -49,115 +71,169 @@ def main() -> None:
     payload_len = 32
     n_sym = payload_len * 2 + 2                      # 66 incl. sync
     frame_samples = n_sym * params.step              # 8448
-    # full-size batch on an accelerator (8192 frames/channel amortises the
-    # fixed per-dispatch overhead of this image's relayed PJRT); small batch
-    # if this ever runs on a CPU fallback so the bench still completes
     channels, frames = (8, 8192) if platform != "cpu" else (8, 64)
-
-    # Build a distinct pool of frames on CPU and tile it — demod cost is
-    # data-independent, generation stays cheap and off the bench clock.
-    cpu = jax.devices("cpu")[0]
-    rng = np.random.RandomState(0)
     pool = 64
-    payloads = rng.randint(0, 256, (pool, payload_len)).astype(np.uint8)
-    with jax.default_device(cpu):
-        syms = modem.encode(payloads)
-        iq = modem.modulate(syms, params)
-        dech = np.asarray(modem.dechirp(iq, params)).astype(np.complex64)
-    xr_pool, xi_pool = planar.split_complex(dech)     # [pool, frame_samples]
-
-    dev = jax.devices()[0]
-    # upload only the small pool (the relayed h2d path here is slow);
-    # materialize the full batch on-device with a jitted tile
-    import jax.numpy as jnp
-
     reps = (channels * frames) // pool
 
+    dev = jax.devices()[0]
+    rng = np.random.RandomState(0)
+    payloads = rng.randint(0, 256, (pool, payload_len)).astype(np.uint8)
+    pool_d = jax.device_put(payloads, dev)
+
+    # --- TX: payload tiling + encode + planar lattice modulator, on-device
     @jax.jit
-    def expand(a):
-        return jnp.tile(a, (reps, 1)).reshape(channels, frames, frame_samples)
+    def tx_step(pl):
+        full = jnp.tile(pl, (reps, 1)).reshape(channels, frames, payload_len)
+        syms = modem.encode(full)
+        return planar.modulate_planar(syms, params)
 
-    xr_d = expand(jax.device_put(xr_pool, dev))
-    xi_d = expand(jax.device_put(xi_pool, dev))
+    # NOTE on methodology: this PJRT's block_until_ready does not wait for
+    # real completion; a tiny device-to-host transfer is the completion
+    # barrier (see CLAUDE.md).
+    t0 = time.perf_counter()
+    re, im = tx_step(pool_d)
+    np.asarray(re[0, 0, :2])
+    log(f"TX compile+first: {time.perf_counter() - t0:.2f}s")
+    total_samples = channels * frames * frame_samples
+    iters = 8 if platform != "cpu" else 2
 
+    def run_tx():
+        nonlocal re, im
+        re, im = tx_step(pool_d)
+
+    dt_tx = _timeit(run_tx, lambda: np.asarray(re[0, 0, :2]), iters)
+    tx_sps = total_samples / dt_tx
+    log(f"TX: {total_samples/1e6:.0f}M IQ samples in {dt_tx*1e3:.1f} ms "
+        f"-> {tx_sps/1e9:.3f} Gsamples/s "
+        f"({tx_sps/BASELINE_IQ_SAMPLES_PER_S:.0f}x reference genChirp loop)")
+
+    # --- secondary: frame-sync scan stage (on the raw TX stream, before
+    # dechirp so only one 4.4 GB batch is live at a time) ----------------
+    sync_gsps = None
+    try:
+        T = (frames // 8) * frame_samples
+        sr = re.reshape(channels, -1)[:, :T]
+        si = im.reshape(channels, -1)[:, :T]
+        sc = None
+
+        def run_sync():
+            nonlocal sc
+            sc = syncmod.frame_sync_scan_planar(sr, si, params)
+
+        dt_s = _timeit(run_sync, lambda: np.asarray(sc.valid[0, :2]),
+                       max(2, iters // 2))
+        sync_gsps = channels * T / dt_s / 1e9
+        log(f"sync scan: {sync_gsps:.3f} Gsamples/s ({dt_s*1e3:.1f} ms)")
+        del sr, si, sc
+    except Exception as e:
+        log(f"sync scan skipped: {e}")
+
+    # --- dechirped input for the demod step (the working-path contract) --
+    @jax.jit
+    def dechirp_step(r, i):
+        return planar.dechirp_planar(r, i, params)
+
+    xr, xi = dechirp_step(re, im)
+    np.asarray(xr[0, 0, :2])
+    # free the raw TX planes: HBM holds one full batch + demod workspace
+    re.delete()
+    im.delete()
+
+    # --- headline: demod ------------------------------------------------
     fused = os.environ.get("LORA_BENCH_FUSED", "0") == "1"
 
-    def step(r, i):
+    @jax.jit
+    def demod_step(r, i):
         res = planar.demodulate_planar(r, i, params, fused=fused)
         return res.symbols, res.sync_word
 
-    jstep = jax.jit(step)
-
-    # NOTE on methodology: this PJRT's block_until_ready does not wait for
-    # real completion (verified: impossible TFLOP readings); a tiny
-    # device-to-host transfer of the result is used as the completion
-    # barrier instead. Large d2h transfers ride a slow relay here, so the
-    # sanity check moves only a small slice.
     t0 = time.perf_counter()
-    out = jstep(xr_d, xi_d)
-    first_syms = np.asarray(out[0][0, :pool])    # small d2h, forces completion
-    log(f"compile+upload+first step: {time.perf_counter() - t0:.2f}s")
+    out = demod_step(xr, xi)
+    first_syms = np.asarray(out[0][0, :pool])
+    log(f"demod compile+first: {time.perf_counter() - t0:.2f}s")
 
-    # sanity: decoded payloads must match bit-exactly
+    # sanity: decoded payloads must match bit-exactly (decode on CPU)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
     with jax.default_device(cpu):
         decoded = np.asarray(modem.decode(first_syms))
     assert np.array_equal(decoded, payloads), "bench demod mismatch"
     assert np.all(np.asarray(out[1][:2]) == params.sync_word)
 
-    iters = 8
-    np.asarray(jstep(xr_d, xi_d)[0][0, 0, :2])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jstep(xr_d, xi_d)
-        np.asarray(out[0][0, 0, :2])             # completion barrier
-    dt = (time.perf_counter() - t0) / iters
+    def run_demod():
+        nonlocal out
+        out = demod_step(xr, xi)
 
-    total_samples = channels * frames * frame_samples
+    dt = _timeit(run_demod, lambda: np.asarray(out[0][0, 0, :2]), iters)
     sps = total_samples / dt
-    log(
-        f"demod: {total_samples/1e6:.1f}M IQ samples in {dt*1e3:.1f} ms "
-        f"-> {sps/1e9:.3f} Gsamples/s ({sps/BASELINE_IQ_SAMPLES_PER_S:.0f}x baseline)"
-    )
+    log(f"demod: {total_samples/1e6:.1f}M IQ samples in {dt*1e3:.1f} ms "
+        f"-> {sps/1e9:.3f} Gsamples/s "
+        f"({sps/BASELINE_IQ_SAMPLES_PER_S:.0f}x baseline)")
 
-    # secondary: SF12 (N=4096, four-step DFT path), stderr only
+    # --- secondary: SF12 (N=4096, four-step DFT path) --------------------
+    xr.delete()
+    xi.delete()
+    sf12_gsps = None
     try:
         p12 = LoraParams(sf=12)
-        with jax.default_device(cpu):
-            s12 = modem.encode(payloads[:4])
-            d12 = np.asarray(
-                modem.dechirp(modem.modulate(s12, p12), p12)
-            ).astype(np.complex64)
-        r12, i12 = planar.split_complex(d12)
-        reps12 = 256   # 1024 frames -> 277M samples, amortises dispatch
+        pool12, reps12 = 4, 256 if platform != "cpu" else 4
+        pay12 = payloads[:pool12]
 
         @jax.jit
-        def expand12(a):
-            return jnp.tile(a, (reps12, 1))
+        def chain12(pl):
+            full = jnp.tile(pl, (reps12, 1))
+            syms = modem.encode(full)
+            r, i = planar.modulate_planar(syms, p12)
+            return planar.dechirp_planar(r, i, p12)
 
-        xr12 = expand12(jax.device_put(r12, dev))
-        xi12 = expand12(jax.device_put(i12, dev))
-        j12 = jax.jit(lambda r, i: planar.demodulate_planar(r, i, p12).symbols)
-        np.asarray(j12(xr12, xi12)[0, :2])
-        t0 = time.perf_counter()
-        for _ in range(4):
-            o12 = j12(xr12, xi12)
-            np.asarray(o12[0, :2])
-        dt12 = (time.perf_counter() - t0) / 4
-        n12 = xr12.shape[0] * xr12.shape[1]
+        r12, i12 = chain12(jax.device_put(pay12, dev))
+        np.asarray(r12[0, :2])
+        o12 = None
+
+        @jax.jit
+        def demod12(r, i):
+            return planar.demodulate_planar(r, i, p12).symbols
+
+        def run12():
+            nonlocal o12
+            o12 = demod12(r12, i12)
+
+        dt12 = _timeit(run12, lambda: np.asarray(o12[0, :2]), 4)
+        n12 = r12.shape[0] * r12.shape[1]
         base12 = 65.8583 * 66 * 4096      # reference SF12 row, BASELINE.md
-        log(
-            f"secondary SF12: {n12/1e6:.1f}M samples in {dt12*1e3:.1f} ms "
-            f"-> {n12/dt12/1e9:.3f} Gsamples/s "
-            f"({n12/dt12/base12:.0f}x reference SF12)"
-        )
-    except Exception as e:  # secondary metric must never break the bench
+        sf12_gsps = n12 / dt12 / 1e9
+        log(f"secondary SF12: {sf12_gsps:.3f} Gsamples/s "
+            f"({n12/dt12/base12:.0f}x reference SF12)")
+    except Exception as e:
         log(f"secondary SF12 skipped: {e}")
+
+    # --- regression gate -------------------------------------------------
+    regressed = False
+    if BASELINE_FILE.exists() and platform != "cpu":
+        base = json.loads(BASELINE_FILE.read_text())
+        checks = {"demod_gsps": sps / 1e9, "tx_gsps": tx_sps / 1e9}
+        if sync_gsps:
+            checks["sync_scan_gsps"] = sync_gsps
+        if sf12_gsps:
+            checks["sf12_gsps"] = sf12_gsps
+        for key, val in checks.items():
+            floor = 0.85 * base.get(key, 0.0)
+            if val < floor:
+                regressed = True
+                log(f"REGRESSION: {key} {val:.3f} < 0.85x baseline "
+                    f"{base[key]:.3f} (logs/bench_baseline.json)")
 
     print(json.dumps({
         "metric": "demod_iq_throughput_sf7",
         "value": round(sps, 0),
         "unit": "IQ samples/s",
         "vs_baseline": round(sps / BASELINE_IQ_SAMPLES_PER_S, 2),
+        "tx_gsps": round(tx_sps / 1e9, 3),
+        "sync_scan_gsps": round(sync_gsps, 3) if sync_gsps else None,
+        "sf12_gsps": round(sf12_gsps, 3) if sf12_gsps else None,
+        "regressed": regressed,
     }))
 
 
