@@ -203,6 +203,75 @@ class StreamDemodulator:
         return new_state, frames
 
 
+class PlanarStreamState(NamedTuple):
+    """Planar (complex-free) stream carry for the batched block receiver."""
+
+    tail_re: np.ndarray
+    tail_im: np.ndarray
+    consumed: int
+
+
+class BatchStreamDemodulator:
+    """Block-wise frame receiver where the scan, candidate selection,
+    window extraction, CFO derotation, dechirp and demod of up to
+    ``max_frames`` frames run as ONE device program per block
+    (models/sync.receive_block_planar) on planar float32 planes — the
+    TPU-deployment replacement for :class:`StreamDemodulator`'s serial
+    per-frame host loop. The host keeps only the tail carry.
+
+    Feed fixed-size blocks (a varying block size retraces the jit).
+    """
+
+    def __init__(self, params: LoraParams, n_payload_symbols: int,
+                 preamble_len: int = 8, max_frames: int = 8):
+        self.params = params
+        self.n_payload_symbols = n_payload_symbols
+        self.preamble_len = preamble_len
+        self.max_frames = max_frames
+        self.frame_len = (
+            frame_overhead_samples(params, preamble_len)
+            + n_payload_symbols * params.step
+        )
+
+    def init_state(self) -> PlanarStreamState:
+        z = np.zeros(0, np.float32)
+        return PlanarStreamState(z, z, 0)
+
+    def process(self, state: PlanarStreamState, block_re, block_im):
+        """Returns (new_state, list of (abs_start, symbols, sync, cfo_bins))."""
+        buf_re = np.concatenate([state.tail_re, np.asarray(block_re)])
+        buf_im = np.concatenate([state.tail_im, np.asarray(block_im)])
+        base = state.consumed
+        blk = sync.receive_block_planar(
+            buf_re, buf_im, self.params, self.n_payload_symbols,
+            self.max_frames, self.preamble_len,
+        )
+        found = np.asarray(blk.found)
+        starts = np.asarray(blk.start)
+        frames = []
+        last_end = 0
+        for k in np.flatnonzero(found):
+            frames.append((
+                base + int(starts[k]),
+                np.asarray(blk.symbols)[k],
+                int(np.asarray(blk.sync)[k]),
+                int(np.asarray(blk.cfo_bins)[k]),
+            ))
+            last_end = int(starts[k]) + self.frame_len
+        if found.all():
+            # the block may hold more than max_frames: keep everything
+            # after the last extracted frame for the next pass
+            offset = last_end
+        else:
+            offset = max(last_end, buf_re.size - self.frame_len -
+                         self.params.step)
+        offset = max(0, min(offset, buf_re.size))
+        new_state = PlanarStreamState(
+            buf_re[offset:], buf_im[offset:], base + offset
+        )
+        return new_state, frames
+
+
 # ---------------------------------------------------------------------------
 # Checkpoint / resume (SURVEY.md §5.4: the reference has none; the stream
 # carry state here is an explicit pytree, so block-wise processing is

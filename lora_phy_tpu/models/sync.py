@@ -146,3 +146,109 @@ def frame_sync_scan_planar(xr, xi, params: LoraParams,
     valid = is_end & has_dwin & (start >= 0)
     return SyncScan(valid, start, cfo_bins, tau,
                     ub.astype(jnp.int32), db.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Batched block receiver: scan + frame extraction + demod in ONE program
+# ---------------------------------------------------------------------------
+
+class BlockFrames(NamedTuple):
+    """Up to ``max_frames`` demodulated frames per channel from one block."""
+
+    found: jnp.ndarray      # [..., K] bool
+    start: jnp.ndarray      # [..., K] int32 frame-start sample index
+    cfo_bins: jnp.ndarray   # [..., K] int32 integer CFO
+    symbols: jnp.ndarray    # [..., K, n_payload] uint16 payload symbols
+    sync: jnp.ndarray       # [..., K] uint8 recovered sync word
+    cfo: jnp.ndarray        # [..., K] float32 residual (fractional) CFO
+    time_offset: jnp.ndarray  # [..., K] float32
+
+
+def _kth_valid(valid, k_max: int):
+    """Positions of the first ``k_max`` True entries along the last axis.
+
+    Returns (pos [..., K] int32, found [..., K] bool) — the run-free
+    analogue of the host 'find next frame' loop, via a rank cumsum.
+    """
+    rank = jnp.cumsum(valid.astype(jnp.int32), axis=-1)      # [..., W]
+    ks = jnp.arange(1, k_max + 1, dtype=jnp.int32)           # [K]
+    match = valid[..., None, :] & (rank[..., None, :] == ks[..., :, None])
+    found = jnp.any(match, axis=-1)                          # [..., K]
+    pos = jnp.argmax(match, axis=-1).astype(jnp.int32)       # [..., K]
+    return pos, found
+
+
+@partial(jax.jit, static_argnames=("params", "n_payload_symbols",
+                                   "max_frames", "preamble_len"))
+def receive_block_planar(xr, xi, params: LoraParams,
+                         n_payload_symbols: int, max_frames: int = 4,
+                         preamble_len: int = 8) -> BlockFrames:
+    """Demodulate every frame in a continuous block, fully on-device.
+
+    One jit over ``[..., channels, T]`` planes: the two-sided dechirp
+    scan, selection of up to ``max_frames`` candidates per channel (rank
+    cumsum instead of the host rescan loop), per-candidate window slicing
+    (padded dynamic slices), integer-CFO derotation with continuous phase
+    across the sync/payload sections (same contract as the serial
+    ``stream.frame_demodulate``), external dechirp, and the working demod
+    path. Host code only reads the resulting ``BlockFrames``.
+    """
+    from ..ops.planar import demodulate_planar, dechirp_planar
+    from .stream import frame_overhead_samples
+
+    n, osr, step = params.n, params.osr, params.step
+    lead = xr.shape[:-1]
+    T = xr.shape[-1]
+
+    scan = frame_sync_scan_planar(xr, xi, params, preamble_len)
+    pos, found = _kth_valid(scan.valid, max_frames)           # [..., K]
+
+    def pick(field):
+        return jnp.take_along_axis(field, pos, axis=-1)
+
+    start = pick(scan.start)                                  # [..., K]
+    cfo_bins = pick(scan.cfo_bins)
+
+    sync_start = start + preamble_len * step
+    payload_start = start + frame_overhead_samples(params, preamble_len)
+    # a frame must fit inside the block
+    fits = payload_start + n_payload_symbols * step <= T
+    found = found & fits
+
+    win_len = (2 + n_payload_symbols) * step
+
+    def slice_windows(plane):
+        """[..., T] -> [..., K, win_len]: sync (2 syms) ++ payload."""
+        pad = jnp.pad(plane, [(0, 0)] * (plane.ndim - 1) + [(0, win_len)])
+        flat = pad.reshape(-1, pad.shape[-1])
+        s0 = jnp.clip(sync_start, 0, T).reshape(-1, max_frames)
+        p0 = jnp.clip(payload_start, 0, T).reshape(-1, max_frames)
+
+        def per_row(row, s_row, p_row):
+            def per_frame(s, p):
+                sync_sec = jax.lax.dynamic_slice(row, (s,), (2 * step,))
+                pay_sec = jax.lax.dynamic_slice(
+                    row, (p,), (n_payload_symbols * step,)
+                )
+                return jnp.concatenate([sync_sec, pay_sec])
+
+            return jax.vmap(per_frame)(s_row, p_row)
+
+        out = jax.vmap(per_row)(flat, s0, p0)
+        return out.reshape(*lead, max_frames, win_len)
+
+    wr = slice_windows(xr)
+    wi = slice_windows(xi)
+
+    # integer-CFO derotation, continuous phase over the window (the
+    # contract validated by the serial receiver, stream.frame_demodulate)
+    idx = jnp.arange(win_len, dtype=jnp.float32)
+    ph = (-2.0 * math.pi / step) * cfo_bins.astype(jnp.float32)[..., None] * idx
+    c, s = jnp.cos(ph), jnp.sin(ph)
+    dr = wr * c - wi * s
+    di = wr * s + wi * c
+
+    yr, yi = dechirp_planar(dr, di, params)
+    res = demodulate_planar(yr, yi, params)
+    return BlockFrames(found, start, cfo_bins, res.symbols, res.sync_word,
+                       res.cfo, res.time_offset)

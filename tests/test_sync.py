@@ -108,3 +108,142 @@ def test_no_frame_no_candidates():
     # downchirp pair should validate (probabilistically safe at this seed)
     assert not np.asarray(scan.valid).any()
     assert not stream.frame_sync(noise, p).found
+
+
+def test_receive_block_multiframe_multichannel():
+    """The one-jit block receiver finds and demodulates every frame in a
+    [channels, T] block, matching the serial per-frame receiver."""
+    p = LoraParams(sf=7)
+    rng = np.random.RandomState(7)
+    n_payload = 8                      # payload symbols per frame
+    chans, starts, wants = [], [], []
+    total = 14000
+    for c in range(3):
+        offs = [100 + 400 * c, 7000 + 150 * c]
+        frames, pls = [], []
+        for off in offs:
+            pl = rng.randint(0, 256, n_payload // 2).astype(np.uint8)
+            pls.append(pl)
+            frames.append((_frame(p, pl), off))
+        chans.append(_place(frames, total))
+        starts.append(offs)
+        wants.append(pls)
+    streams = np.stack(chans)
+    re, im = planar.split_complex(streams)
+
+    blk = sync.receive_block_planar(re, im, p, n_payload, max_frames=3)
+    found = np.asarray(blk.found)
+    assert found[:, :2].all() and not found[:, 2].any()
+    np.testing.assert_array_equal(np.asarray(blk.start)[:, :2], np.asarray(starts))
+    assert (np.asarray(blk.sync)[:, :2] == p.sync_word).all()
+    for c in range(3):
+        for k in range(2):
+            dec = np.asarray(modem.decode(np.asarray(blk.symbols)[c, k]))
+            np.testing.assert_array_equal(dec, wants[c][k])
+
+
+def test_receive_block_matches_serial_receiver():
+    """Bit-parity with the serial frame_demodulate path, including under
+    integer CFO."""
+    p = LoraParams(sf=7)
+    rng = np.random.RandomState(8)
+    pl = rng.randint(0, 256, 5).astype(np.uint8)
+    iq = _frame(p, pl)
+    rot = np.asarray(apply_cfo_continuous(iq, 2.0, p.n, p.osr))
+    s = _place([(rot, 3 * p.step)], rot.size + 6 * p.step)
+
+    out, res = stream.frame_demodulate(s, p, 10)
+    assert out is not None
+
+    re, im = planar.split_complex(s[None])
+    blk = sync.receive_block_planar(re, im, p, 10, max_frames=2)
+    assert np.asarray(blk.found)[0, 0] and not np.asarray(blk.found)[0, 1]
+    np.testing.assert_array_equal(
+        np.asarray(blk.symbols)[0, 0], np.asarray(out.symbols)
+    )
+    assert int(np.asarray(blk.cfo_bins)[0, 0]) == res.cfo_bins
+    assert int(np.asarray(blk.sync)[0, 0]) == int(np.asarray(out.sync_word))
+
+
+def test_receive_block_frame_past_end_not_reported():
+    p = LoraParams(sf=7)
+    rng = np.random.RandomState(9)
+    pl = rng.randint(0, 256, 4).astype(np.uint8)
+    iq = _frame(p, pl)
+    # truncate mid-payload: sync section present, payload runs past T
+    cut = iq.size - 4 * p.step
+    s = _place([(iq[:cut], 0)], cut)
+    re, im = planar.split_complex(s[None])
+    blk = sync.receive_block_planar(re, im, p, 8, max_frames=2)
+    assert not np.asarray(blk.found).any()
+
+
+def test_batch_stream_demodulator_matches_serial():
+    """BatchStreamDemodulator (one device program per block) finds the
+    same frames as the serial StreamDemodulator across block seams."""
+    p = LoraParams(sf=7)
+    rng = np.random.RandomState(10)
+    n_payload = 10
+    payloads = [rng.randint(0, 256, n_payload // 2).astype(np.uint8)
+                for _ in range(5)]
+    frames = []
+    pos = 300
+    for pl in payloads:
+        iq = _frame(p, pl)
+        frames.append((iq, pos))
+        pos += iq.size + 5 * p.step + int(rng.randint(0, p.step))
+    total = pos + 4 * p.step
+    s = _place(frames, total)
+
+    serial = stream.StreamDemodulator(p, n_payload)
+    st = serial.init_state()
+    got_serial = []
+    block = 2 * serial.frame_len
+    for off in range(0, total, block):
+        st, out = serial.process(st, s[off:off + block])
+        got_serial.extend(out)
+
+    re, im = planar.split_complex(s)
+    batch = stream.BatchStreamDemodulator(p, n_payload, max_frames=4)
+    bst = batch.init_state()
+    got_batch = []
+    for off in range(0, total, block):
+        bst, out = batch.process(bst, re[off:off + block], im[off:off + block])
+        got_batch.extend(out)
+
+    assert len(got_serial) == len(got_batch) == len(payloads)
+    for (s_start, s_res), (b_start, b_syms, b_sync, b_cfo), pl in zip(
+            got_serial, got_batch, payloads):
+        assert s_start == b_start
+        np.testing.assert_array_equal(np.asarray(s_res.symbols), b_syms)
+        assert b_sync == p.sync_word
+        np.testing.assert_array_equal(
+            np.asarray(modem.decode(b_syms)), pl
+        )
+
+
+def test_batch_stream_demodulator_overflow_frames_carry():
+    """More frames in a block than max_frames: the remainder carries to
+    the next process call instead of being dropped."""
+    p = LoraParams(sf=7)
+    rng = np.random.RandomState(11)
+    n_payload = 8
+    payloads = [rng.randint(0, 256, n_payload // 2).astype(np.uint8)
+                for _ in range(4)]
+    frames, pos = [], 50
+    for pl in payloads:
+        iq = _frame(p, pl)
+        frames.append((iq, pos))
+        pos += iq.size + 2 * p.step
+    s = _place(frames, pos + 2 * p.step)
+    re, im = planar.split_complex(s)
+
+    batch = stream.BatchStreamDemodulator(p, n_payload, max_frames=2)
+    st = batch.init_state()
+    st, out1 = batch.process(st, re, im)
+    assert len(out1) == 2
+    st, out2 = batch.process(st, np.zeros(0, np.float32), np.zeros(0, np.float32))
+    assert len(out2) == 2
+    decs = [np.asarray(modem.decode(o[1])) for o in out1 + out2]
+    for d, pl in zip(decs, payloads):
+        np.testing.assert_array_equal(d, pl)
