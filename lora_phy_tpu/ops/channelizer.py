@@ -82,13 +82,57 @@ def channelize(x, k: int, taps_per_branch: int = 7):
     return chans                                        # [..., K, frames]
 
 
+def synthesize_channels(signals, k: int, taps_per_branch: int = 7):
+    """True polyphase synthesis filter bank (TX side) — the transpose of
+    :func:`channelize`: ``[..., C, F]`` channel streams (C <= K, channel c
+    centred at ``c * fs / K``) -> ``[..., F*K]`` wideband stream at rate fs.
+
+    IDFT across channels -> K branch streams -> interpolating polyphase
+    FIR (the analysis prototype scaled by K for the zero-stuffing gain)
+    -> commutator interleave. One fused einsum program, group-delay
+    aligned with the analysis bank, so channelize(synthesize(x)) recovers
+    each stream sample-aligned (gated by tests/test_channelizer.py), with
+    upsampling images suppressed by the prototype's stopband instead of
+    the zero-order hold's sinc roll-off.
+    """
+    if taps_per_branch % 2 == 0:
+        raise ValueError("taps_per_branch must be odd for aligned output")
+    signals = jnp.asarray(signals)
+    nchan = signals.shape[-2]
+    frames = signals.shape[-1]
+    if nchan < k:
+        pad = jnp.zeros(signals.shape[:-2] + (k - nchan, frames),
+                        signals.dtype)
+        signals = jnp.concatenate([signals, pad], axis=-2)
+
+    # IDFT across channels: branch r of output frame m carries
+    # sum_c X_c[m] * e^{+2pi j c r / K} (carrier phase at sample m*K + r)
+    cc = np.arange(k)
+    idft = np.exp(2j * np.pi * np.outer(cc, cc) / k).astype(np.complex64)
+    u = jnp.einsum("...cf,cr->...fr", signals, jnp.asarray(idft))
+
+    # interpolating polyphase FIR along frames, branch-wise; symmetric pad
+    # mirrors the analysis bank so group delays cancel
+    h = jnp.asarray(_prototype(k, taps_per_branch)) * k   # [taps, K]
+    half = (taps_per_branch - 1) // 2
+    up = jnp.concatenate(
+        [jnp.zeros(u.shape[:-2] + (half, k), u.dtype), u,
+         jnp.zeros(u.shape[:-2] + (taps_per_branch - 1 - half, k), u.dtype)],
+        axis=-2,
+    )
+    views = [up[..., i: i + frames, :] for i in range(taps_per_branch)]
+    w = jnp.stack(views, axis=-2)                          # [..., F, taps, K]
+    # analysis filters branch r with h[:, r] forward in time; synthesis
+    # uses the time-reversed taps so the cascade is h*h (linear-phase)
+    y = jnp.einsum("...ftk,tk->...fk", w, h[::-1])
+
+    return y.reshape(*y.shape[:-2], frames * k)            # commutate
+
+
 def synthesize_tone_channels(signals, k: int):
-    """Test helper (TX side): place each ``signals[..., c, :]`` stream onto
-    channel c of a wideband stream sampled at ``K x`` the channel rate:
-    upsample-by-K images are avoided by proper zero-stuffing + the same
-    prototype filter would be needed for a true synthesis bank; for test
-    purposes we mix each channel's samples (held at rate fs/K) onto its
-    carrier directly at rate fs."""
+    """Legacy test helper (TX side): zero-order-hold mix of each channel
+    onto its carrier — images only suppressed by the ZOH sinc roll-off.
+    Prefer :func:`synthesize_channels` (true polyphase synthesis bank)."""
     signals = jnp.asarray(signals)
     nchan = signals.shape[-2]
     length = signals.shape[-1]

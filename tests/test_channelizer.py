@@ -5,7 +5,8 @@ import numpy as np
 import pytest
 
 from lora_phy_tpu.models import modem
-from lora_phy_tpu.ops.channelizer import channelize, synthesize_tone_channels
+from lora_phy_tpu.ops.channelizer import (channelize, synthesize_channels,
+                                          synthesize_tone_channels)
 from lora_phy_tpu.utils.params import LoraParams
 
 
@@ -31,9 +32,11 @@ def test_dc_tone_feedthrough_gain():
     assert abs(np.mean(chans[0, 16:]) - 1.0) < 0.05
 
 
-def test_multichannel_lora_receive():
+@pytest.mark.parametrize("synth", ["polyphase", "zoh"])
+def test_multichannel_lora_receive(synth):
     """Two LoRa transmissions on different channels of one wideband
-    stream: channelize, dechirp, demodulate, decode both payloads."""
+    stream: synthesis bank (or the legacy ZOH mixer) -> channelize ->
+    dechirp -> demodulate -> decode both payloads."""
     p = LoraParams(sf=7)
     k = 4
     pay_a = np.arange(12, dtype=np.uint8)
@@ -44,16 +47,64 @@ def test_multichannel_lora_receive():
     sigs = np.zeros((k, iq_a.size), np.complex64)
     sigs[1] = iq_a
     sigs[3] = iq_b
-    wide = np.asarray(synthesize_tone_channels(sigs, k))
+    if synth == "polyphase":
+        wide = np.asarray(synthesize_channels(sigs, k))
+        gain = 1.0
+    else:
+        wide = np.asarray(synthesize_tone_channels(sigs, k))
+        gain = k                                 # undo the 1/nchan scale
 
     chans = np.asarray(channelize(wide, k))      # [K, T]
     for chan, payload in ((1, pay_a), (3, pay_b)):
-        x = chans[chan] * k                      # undo the 1/nchan scale
+        x = chans[chan] * gain
         dech = modem.dechirp(x, p)
         res = modem.demodulate(np.asarray(dech), p)
         out = np.asarray(modem.decode(np.asarray(res.symbols)))
         np.testing.assert_array_equal(out, payload)
         assert int(res.sync_word) == 0x12
+
+
+def test_synthesis_bank_matches_explicit_upsample():
+    """The polyphase synthesis equals explicit zero-stuff + prototype FIR
+    + carrier mix (offset by the symmetric-pad group delay)."""
+    from lora_phy_tpu.ops.channelizer import _prototype
+
+    k, F, tpb = 4, 256, 7
+    rng = np.random.RandomState(0)
+    x = (rng.randn(F) + 1j * rng.randn(F)).astype(np.complex64)
+    sigs = np.zeros((k, F), np.complex64)
+    sigs[2] = x
+    got = np.asarray(synthesize_channels(sigs, k, tpb))
+
+    h = _prototype(k, tpb).reshape(-1) * k
+    zs = np.zeros(F * k, np.complex64)
+    zs[::k] = x
+    filt = np.convolve(zs, h, mode="full")
+    t = np.arange(filt.size)
+    ref = (filt * np.exp(2j * np.pi * 2 * t / k)).astype(np.complex64)
+    half = ((tpb - 1) // 2) * k
+    np.testing.assert_allclose(got, ref[half: half + got.size], atol=1e-5)
+
+
+def test_synthesis_bank_image_rejection():
+    """Upsampling images sit >45 dB below the carrier through the
+    prototype's stopband; the ZOH mixer only manages its sinc roll-off
+    (~9 dB). Exact-bin tone so DFT leakage doesn't pollute the measure."""
+    k, F = 4, 4096
+    f0 = 820 / F
+    m = np.arange(F)
+    tone = np.exp(2j * np.pi * f0 * m).astype(np.complex64)
+    sigs = np.zeros((k, F), np.complex64)
+    sigs[2] = tone
+
+    def rejection(wide):
+        spec = np.abs(np.fft.fft(wide)) ** 2
+        main = 2 * F + 820
+        images = [(main + j * F) % (F * k) for j in (1, 2, 3)]
+        return 10 * np.log10(spec[main] / sum(spec[i] for i in images))
+
+    assert rejection(np.asarray(synthesize_channels(sigs, k))) > 45.0
+    assert rejection(np.asarray(synthesize_tone_channels(sigs, k)) * k) < 15.0
 
 
 def test_channelizer_batched():
