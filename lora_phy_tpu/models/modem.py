@@ -267,13 +267,19 @@ def _sync_from_symbols(idx0, idx1, sf: int):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("params", "backend"))
-def demodulate(samples, params: LoraParams, backend: str = "xla") -> DemodResult:
+def demodulate(samples, params: LoraParams, backend: str = "xla",
+               known_offsets=None) -> DemodResult:
     """Demodulate already-dechirped samples — the reference's working
     contract (``lora_demodulate``, src/phy/LoRaDemod.cpp:49-195).
 
     ``samples``: [..., S_total*step] complex64 (S_total >= 2; first two
     symbols are the sync word). Returns data symbols [..., S_total-2],
     the recovered sync byte, and CFO/TO estimates.
+
+    ``known_offsets=(cfo, time_offset)`` bypasses the inline 2-symbol
+    estimator with externally measured values (the streaming receiver's
+    preamble-anchored estimate — see ops.planar.estimate_preamble_planar
+    for why the sync-pair estimator is biased for large sync words).
     """
     n, osr, step = params.n, params.osr, params.step
     total_symbols = samples.shape[-1] // step
@@ -291,9 +297,16 @@ def demodulate(samples, params: LoraParams, backend: str = "xla") -> DemodResult
     window = _window_table(params)
 
     # Two-symbol CFO/TO estimation with deterministic tie-break
-    cfo, time_offset = _estimate(
-        x[..., : 2 * step], n, osr, window, tie_break_idx=True, backend=backend
-    )
+    if known_offsets is None:
+        cfo, time_offset = _estimate(
+            x[..., : 2 * step], n, osr, window, tie_break_idx=True,
+            backend=backend,
+        )
+    else:
+        batch = x.shape[:-1]
+        cfo = jnp.broadcast_to(jnp.asarray(known_offsets[0], jnp.float32), batch)
+        time_offset = jnp.broadcast_to(
+            jnp.asarray(known_offsets[1], jnp.float32), batch)
 
     t_off = _round_half_away(time_offset).astype(jnp.int32)
     rate = (-jnp.float32(_TWO_PI) * cfo / jnp.float32(n)).astype(jnp.float32)

@@ -129,6 +129,7 @@ def frame_demodulate(stream, params: LoraParams, n_payload_symbols: int,
         return None, res
     step = params.step
     sync_start = res.start + preamble_len * step
+    pre_sec = stream[..., res.start: sync_start]
     sync_sec = stream[..., sync_start: sync_start + 2 * step]
     payload_sec = stream[..., res.payload_start:
                          res.payload_start + n_payload_symbols * step]
@@ -136,15 +137,30 @@ def frame_demodulate(stream, params: LoraParams, n_payload_symbols: int,
         return None, FrameSyncResult(False, res.start, res.cfo_bins, res.payload_start)
     window = jnp.concatenate([sync_sec, payload_sec], axis=-1)
     if res.cfo_bins != 0:
-        # undo the integer-bin CFO found by the two-sided sync (the inner
-        # demodulator's 2-symbol estimator only pulls in fractional bins)
+        # undo the integer-bin CFO found by the two-sided sync
         import math
 
         idx = jnp.arange(window.shape[-1], dtype=jnp.float32)
         ph = (-2.0 * math.pi * res.cfo_bins / step) * idx
         window = window * jnp.exp(1j * ph.astype(jnp.float32))
+        idx_p = jnp.arange(pre_sec.shape[-1], dtype=jnp.float32)
+        ph_p = (-2.0 * math.pi * res.cfo_bins / step) * idx_p
+        pre_sec = pre_sec * jnp.exp(1j * ph_p.astype(jnp.float32))
+    # residual (fractional) CFO anchored on the preamble — unbiased for
+    # any sync word, unlike the inline sync-pair estimator (see
+    # ops.planar.estimate_preamble_planar)
+    from ..ops.planar import estimate_preamble_planar
+
+    pre_dech = np.asarray(modem.dechirp(pre_sec, params))
+    cfo_resid = estimate_preamble_planar(
+        jnp.asarray(np.ascontiguousarray(pre_dech.real)),
+        jnp.asarray(np.ascontiguousarray(pre_dech.imag)),
+        params.n, params.osr,
+    )
     dech = modem.dechirp(window, params)
-    out = modem.demodulate(dech, params)
+    out = modem.demodulate(
+        dech, params, known_offsets=(cfo_resid, jnp.zeros_like(cfo_resid))
+    )
     return out, res
 
 

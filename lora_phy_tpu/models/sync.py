@@ -215,26 +215,29 @@ def receive_block_planar(xr, xi, params: LoraParams,
     fits = payload_start + n_payload_symbols * step <= T
     found = found & fits
 
-    win_len = (2 + n_payload_symbols) * step
+    pre_len = preamble_len * step
+    win_len = pre_len + (2 + n_payload_symbols) * step
 
     def slice_windows(plane):
-        """[..., T] -> [..., K, win_len]: sync (2 syms) ++ payload."""
+        """[..., T] -> [..., K, win_len]: preamble ++ sync (2) ++ payload."""
         pad = jnp.pad(plane, [(0, 0)] * (plane.ndim - 1) + [(0, win_len)])
         flat = pad.reshape(-1, pad.shape[-1])
+        f0 = jnp.clip(start, 0, T).reshape(-1, max_frames)
         s0 = jnp.clip(sync_start, 0, T).reshape(-1, max_frames)
         p0 = jnp.clip(payload_start, 0, T).reshape(-1, max_frames)
 
-        def per_row(row, s_row, p_row):
-            def per_frame(s, p):
+        def per_row(row, f_row, s_row, p_row):
+            def per_frame(f, s, p):
+                pre_sec = jax.lax.dynamic_slice(row, (f,), (pre_len,))
                 sync_sec = jax.lax.dynamic_slice(row, (s,), (2 * step,))
                 pay_sec = jax.lax.dynamic_slice(
                     row, (p,), (n_payload_symbols * step,)
                 )
-                return jnp.concatenate([sync_sec, pay_sec])
+                return jnp.concatenate([pre_sec, sync_sec, pay_sec])
 
-            return jax.vmap(per_frame)(s_row, p_row)
+            return jax.vmap(per_frame)(f_row, s_row, p_row)
 
-        out = jax.vmap(per_row)(flat, s0, p0)
+        out = jax.vmap(per_row)(flat, f0, s0, p0)
         return out.reshape(*lead, max_frames, win_len)
 
     wr = slice_windows(xr)
@@ -249,6 +252,16 @@ def receive_block_planar(xr, xi, params: LoraParams,
     di = wr * s + wi * c
 
     yr, yi = dechirp_planar(dr, di, params)
-    res = demodulate_planar(yr, yi, params)
+    # residual fractional CFO anchored on the preamble section — unbiased
+    # for any sync word (ops.planar.estimate_preamble_planar)
+    from ..ops.planar import estimate_preamble_planar
+
+    cfo_resid = estimate_preamble_planar(
+        yr[..., :pre_len], yi[..., :pre_len], n, osr
+    )
+    res = demodulate_planar(
+        yr[..., pre_len:], yi[..., pre_len:], params,
+        known_offsets=(cfo_resid, jnp.zeros_like(cfo_resid)),
+    )
     return BlockFrames(found, start, cfo_bins, res.symbols, res.sync_word,
                        res.cfo, res.time_offset)

@@ -179,11 +179,40 @@ def _estimate_planar(xr, xi, n: int, osr: int, window,
     return cfo.astype(jnp.float32), time_offset.astype(jnp.float32)
 
 
+def estimate_preamble_planar(pr, pi, n: int, osr: int):
+    """Unbiased residual-CFO estimate from dechirped PREAMBLE windows.
+
+    The reference-mirroring 2-symbol estimator reads the sync pair's bins
+    as CFO displacement (src/phy/LoRaDemod.cpp:101-135 does the same), so
+    its estimate is biased by ``mean(sync bins)/N`` — harmless for small
+    sync words (0x12), catastrophic for large ones (0x8e: the upstream
+    Pothos examples' sync, where the bias shifts every decision one bin).
+    Preamble symbols all transmit bin 0, so their windows measure the
+    channel alone: coarse = mean(signed argmax + fractional interp), fine =
+    peak-phase slope across windows (resolves CFO mod 1 bin), combined by
+    integer disambiguation. Returns CFO in bins, [...]-shaped.
+    """
+    lead = pr.shape[:-1]
+    s = pr.shape[-1] // (n * osr)
+    vr = pr[..., : s * n * osr].reshape(*lead, s, n, osr)[..., 0]
+    vi = pi[..., : s * n * osr].reshape(*lead, s, n, osr)[..., 0]
+    det = detect_planar(vr, vi, n)
+    sb = jnp.where(det.index > n // 2, det.index - n, det.index)
+    coarse = jnp.mean(sb.astype(jnp.float32) + det.findex, axis=-1)
+    phase = jnp.arctan2(det.peak_im, det.peak_re).astype(jnp.float32)
+    d = phase[..., 1:] - phase[..., :-1]
+    d = jnp.where(d > math.pi, d - _TWO_PI, d)
+    d = jnp.where(d < -math.pi, d + _TWO_PI, d)
+    fine = jnp.mean(d, axis=-1) / jnp.float32(_TWO_PI)   # = cfo mod 1 bin
+    return (fine + jnp.round(coarse - fine)).astype(jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("params", "fused", "assume_normalized",
                                    "precision"))
 def demodulate_planar(xr, xi, params: LoraParams, fused: bool = False,
                       assume_normalized: bool = False,
-                      precision: str = "f32") -> PlanarDemodResult:
+                      precision: str = "f32",
+                      known_offsets=None) -> PlanarDemodResult:
     """Planar twin of models.modem.demodulate (the working dechirped-input
     contract). ``xr, xi``: [..., S_total*step] float32.
 
@@ -191,7 +220,10 @@ def demodulate_planar(xr, xi, params: LoraParams, fused: bool = False,
     mega-kernel. ``assume_normalized=True`` skips the [-1,1] rescale scan
     for pipelines that guarantee canonical amplitudes (saves one full
     input pass). ``precision='bf16'`` runs the DFT matmuls at bf16 input
-    precision (f32 accumulate)."""
+    precision (f32 accumulate). ``known_offsets=(cfo, time_offset)``
+    (broadcastable to the batch) bypasses the reference-mirroring
+    2-symbol estimator — the streaming receiver supplies its unbiased
+    preamble-anchored estimate here (:func:`estimate_preamble_planar`)."""
     n, osr, step = params.n, params.osr, params.step
     mxu_dtype = jnp.bfloat16 if precision == "bf16" else None
     total_symbols = xr.shape[-1] // step
@@ -213,12 +245,19 @@ def demodulate_planar(xr, xi, params: LoraParams, fused: bool = False,
         scale = None
 
     window = _window_table(params)
-    er = xr[..., : 2 * step]
-    ei = xi[..., : 2 * step]
-    if scale is not None:
-        er = er * scale[..., None]
-        ei = ei * scale[..., None]
-    cfo, time_offset = _estimate_planar(er, ei, n, osr, window)
+    if known_offsets is None:
+        er = xr[..., : 2 * step]
+        ei = xi[..., : 2 * step]
+        if scale is not None:
+            er = er * scale[..., None]
+            ei = ei * scale[..., None]
+        cfo, time_offset = _estimate_planar(er, ei, n, osr, window)
+    else:
+        batch = xr.shape[:-1]
+        cfo = jnp.broadcast_to(
+            jnp.asarray(known_offsets[0], jnp.float32), batch)
+        time_offset = jnp.broadcast_to(
+            jnp.asarray(known_offsets[1], jnp.float32), batch)
 
     t_off = _round_half_away(time_offset).astype(jnp.int32)
     rate = (-jnp.float32(_TWO_PI) * cfo / jnp.float32(n)).astype(jnp.float32)
