@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.chirp import base_downchirp_planar
-from ..ops.planar import detect_planar
+from ..ops.planar import argmax_bins_planar
 from ..utils.params import LoraParams
 
 # NOTE: no module-level jnp constants — creating a device array at import
@@ -82,7 +82,7 @@ def frame_sync_scan_planar(xr, xi, params: LoraParams,
     def bins_of(pr, pi):
         v_r = pr.reshape(*lead, nwin, n, osr)[..., 0]
         v_i = pi.reshape(*lead, nwin, n, osr)[..., 0]
-        return detect_planar(v_r, v_i, n).index
+        return argmax_bins_planar(v_r, v_i, n)
 
     ub = bins_of(ar * dr - ai * di, ar * di + ai * dr)
     db = bins_of(ar * dr + ai * di, ai * dr - ar * di)

@@ -90,6 +90,17 @@ class PlanarDetection(NamedTuple):
     peak_im: jnp.ndarray
 
 
+def argmax_bins_planar(xr, xi, n: int, mxu_dtype=None):
+    """DFT + |.|² + argmax only — the detection decision without the
+    metric outputs (power dB, noise, fIndex, peak phase). The frame-sync
+    scan consumes nothing but the bin index over [.., windows, N], so
+    skipping the metric passes saves several full-spectrum elementwise
+    rounds and per-window gathers on a memory-bound stage. Identical
+    ``index`` semantics to :func:`detect_planar` (same argmax tie-break)."""
+    sr, si = dft_planar(xr, xi, n, mxu_dtype=mxu_dtype)
+    return jnp.argmax(sr * sr + si * si, axis=-1).astype(jnp.int32)
+
+
 def detect_planar(xr, xi, n: int, mxu_dtype=None) -> PlanarDetection:
     """Planar twin of ops.detect.detect (same argmax/tie-break/fIndex
     semantics, LoRaDetector.hpp:39-74)."""
