@@ -129,6 +129,87 @@ def synthesize_channels(signals, k: int, taps_per_branch: int = 7):
     return y.reshape(*y.shape[:-2], frames * k)            # commutate
 
 
+def channelize_planar(xr, xi, k: int, taps_per_branch: int = 7):
+    """Planar twin of :func:`channelize` for complex-free TPU backends:
+    ``(re, im) [..., T]`` float32 -> ``(re, im) [..., K, T//K]``.
+
+    The real polyphase FIR filters each plane independently; the channel
+    DFT is four real matmuls. Bit-identical windows/prototype/alignment
+    to the complex path (gated by tests/test_channelizer.py)."""
+    if taps_per_branch % 2 == 0:
+        raise ValueError("taps_per_branch must be odd for aligned output")
+    xr = jnp.asarray(xr)
+    xi = jnp.asarray(xi)
+    t = xr.shape[-1] // k * k
+    frames = t // k
+    h = jnp.asarray(_prototype(k, taps_per_branch))       # [taps, K]
+    pad_head = ((taps_per_branch - 1) // 2) * k
+    pad_tail = (taps_per_branch - 1) * k - pad_head
+
+    def fir(plane):
+        plane = plane[..., :t]
+        xp = jnp.concatenate(
+            [jnp.zeros(plane.shape[:-1] + (pad_head,), plane.dtype), plane,
+             jnp.zeros(plane.shape[:-1] + (pad_tail,), plane.dtype)], axis=-1
+        )
+        views = [
+            xp[..., i * k: i * k + t].reshape(*plane.shape[:-1], frames, k)
+            for i in range(taps_per_branch)
+        ]
+        w = jnp.stack(views, axis=-2)                     # [..., F, taps, K]
+        return jnp.einsum("...ftk,tk->...fk", w, h)
+
+    fr, fi = fir(xr), fir(xi)
+    kk = np.arange(k)
+    dr = jnp.asarray(np.cos(2 * np.pi * np.outer(kk, kk) / k).astype(np.float32))
+    di = jnp.asarray((-np.sin(2 * np.pi * np.outer(kk, kk) / k)).astype(np.float32))
+    out_r = jnp.einsum("...fk,ck->...cf", fr, dr) - jnp.einsum(
+        "...fk,ck->...cf", fi, di)
+    out_i = jnp.einsum("...fk,ck->...cf", fr, di) + jnp.einsum(
+        "...fk,ck->...cf", fi, dr)
+    return out_r, out_i                                   # [..., K, F] x2
+
+
+def synthesize_channels_planar(sr, si, k: int, taps_per_branch: int = 7):
+    """Planar twin of :func:`synthesize_channels`:
+    ``(re, im) [..., C, F]`` -> ``(re, im) [..., F*K]``."""
+    if taps_per_branch % 2 == 0:
+        raise ValueError("taps_per_branch must be odd for aligned output")
+    sr = jnp.asarray(sr)
+    si = jnp.asarray(si)
+    nchan = sr.shape[-2]
+    frames = sr.shape[-1]
+    if nchan < k:
+        pad = jnp.zeros(sr.shape[:-2] + (k - nchan, frames), sr.dtype)
+        sr = jnp.concatenate([sr, pad], axis=-2)
+        si = jnp.concatenate([si, pad], axis=-2)
+
+    cc = np.arange(k)
+    er = jnp.asarray(np.cos(2 * np.pi * np.outer(cc, cc) / k).astype(np.float32))
+    ei = jnp.asarray(np.sin(2 * np.pi * np.outer(cc, cc) / k).astype(np.float32))
+    ur = jnp.einsum("...cf,cr->...fr", sr, er) - jnp.einsum(
+        "...cf,cr->...fr", si, ei)
+    ui = jnp.einsum("...cf,cr->...fr", sr, ei) + jnp.einsum(
+        "...cf,cr->...fr", si, er)
+
+    h = jnp.asarray(_prototype(k, taps_per_branch)) * k   # [taps, K]
+    half = (taps_per_branch - 1) // 2
+
+    def fir(u):
+        up = jnp.concatenate(
+            [jnp.zeros(u.shape[:-2] + (half, k), u.dtype), u,
+             jnp.zeros(u.shape[:-2] + (taps_per_branch - 1 - half, k),
+                       u.dtype)],
+            axis=-2,
+        )
+        views = [up[..., i: i + frames, :] for i in range(taps_per_branch)]
+        w = jnp.stack(views, axis=-2)                      # [..., F, taps, K]
+        y = jnp.einsum("...ftk,tk->...fk", w, h[::-1])
+        return y.reshape(*y.shape[:-2], frames * k)
+
+    return fir(ur), fir(ui)
+
+
 def synthesize_tone_channels(signals, k: int):
     """Legacy test helper (TX side): zero-order-hold mix of each channel
     onto its carrier — images only suppressed by the ZOH sinc roll-off.
