@@ -262,13 +262,15 @@ def make_freq_demod(name: str) -> Block:
     return Block(name, fn)
 
 
-def make_demodulator(name: str, params: LoraParams, preamble_len: int = 8) -> Block:
+def make_demodulator(name: str, params: LoraParams, preamble_len: int = 8,
+                     thresh_db: float | None = -30.0) -> Block:
     """Continuous IQ burst -> demodulated symbol bins.
 
     One device program does the sync scan; the payload section rides the
     working dechirped demod path.  Ports: ``0`` = symbol bins (sync symbols
     stripped), ``raw`` = the input tap, ``dec`` = dechirped payload tap.
     Signals: ``error`` = integer-CFO estimate in bins, ``snr`` = dB.
+    ``thresh_db`` is the Pothos block's ``thresh`` detection threshold.
     """
 
     def fn(block, inputs):
@@ -277,13 +279,15 @@ def make_demodulator(name: str, params: LoraParams, preamble_len: int = 8) -> Bl
             return {}
         iq = np.asarray(iq, np.complex64)
         step = params.step
-        res = stream.frame_sync(iq, params, preamble_len)
+        res = stream.frame_sync(iq, params, preamble_len,
+                                min_power_db=thresh_db)
         if not res.found:
             return {"raw": iq}
         avail = (iq.shape[-1] - res.payload_start) // step
         if avail < 1:
             return {"raw": iq}
-        out, _ = stream.frame_demodulate(iq, params, int(avail), preamble_len)
+        out, _ = stream.frame_demodulate(iq, params, int(avail), preamble_len,
+                                         min_power_db=thresh_db)
         if out is None:
             return {"raw": iq}
         pay = iq[res.payload_start: res.payload_start + avail * step]
@@ -497,7 +501,10 @@ def load_topology(path: str, seed: int = 0,
                 padding=int(_eval_prop(props.get("padding", "0"), env)),
             ))
         elif bpath == "/lora/lora_demod":
-            topo.add(make_demodulator(bid, _sf_params(props, env, sync_word)))
+            topo.add(make_demodulator(
+                bid, _sf_params(props, env, sync_word),
+                thresh_db=float(_eval_prop(props.get("thresh", "-30.0"), env)),
+            ))
         elif bpath == "/lora/lora_decoder":
             cfg = CodedConfig(
                 sf=int(_eval_prop(props.get("sf", "7"), env)),

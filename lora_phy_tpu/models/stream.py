@@ -80,13 +80,16 @@ class FrameSyncResult(NamedTuple):
     payload_start: int    # sample index where payload symbols begin
 
 
-def frame_sync(stream, params: LoraParams, preamble_len: int = 8) -> FrameSyncResult:
+def frame_sync(stream, params: LoraParams, preamble_len: int = 8,
+               min_power_db: float | None = None) -> FrameSyncResult:
     """Locate the first frame in a continuous stream (single channel).
 
     The entire scan — two-sided dechirp, batched FFT bins, preamble
     run-length detection, downchirp pairing, timing/CFO split — runs in ONE
     device call (models/sync.frame_sync_scan_planar); the host only reads
     the per-window candidate arrays and picks the first valid one.
+    ``min_power_db`` gates candidates on preamble peak power (the Pothos
+    demod block's ``thresh``; None = no gate).
     """
     stream = np.asarray(stream)
     step = params.step
@@ -97,7 +100,7 @@ def frame_sync(stream, params: LoraParams, preamble_len: int = 8) -> FrameSyncRe
         sync.frame_sync_scan_planar(
             np.ascontiguousarray(stream.real.astype(np.float32)),
             np.ascontiguousarray(stream.imag.astype(np.float32)),
-            params, preamble_len,
+            params, preamble_len, min_power_db=min_power_db,
         )
     )
     if res is None:
@@ -118,13 +121,14 @@ def first_candidate(scan) -> tuple[int, int] | None:
 
 
 def frame_demodulate(stream, params: LoraParams, n_payload_symbols: int,
-                     preamble_len: int = 8):
+                     preamble_len: int = 8,
+                     min_power_db: float | None = None):
     """Sync + demodulate one frame from a continuous stream. Returns
     (symbols [n_payload_symbols], sync_result). The payload section is
     dechirped and routed through the working demod path with the sync
     symbols re-attached from the stream's sync section (so the standard
     2-symbol estimator sees the true sync chirps)."""
-    res = frame_sync(stream, params, preamble_len)
+    res = frame_sync(stream, params, preamble_len, min_power_db=min_power_db)
     if not res.found:
         return None, res
     step = params.step

@@ -64,10 +64,18 @@ def _round_half_even(x):
     return jnp.round(x).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("params", "preamble_len"))
+@partial(jax.jit, static_argnames=("params", "preamble_len", "min_power_db"))
 def frame_sync_scan_planar(xr, xi, params: LoraParams,
-                           preamble_len: int = 8) -> SyncScan:
-    """Batched two-sided dechirp frame scan over ``[..., T]`` planes."""
+                           preamble_len: int = 8,
+                           min_power_db: float | None = None) -> SyncScan:
+    """Batched two-sided dechirp frame scan over ``[..., T]`` planes.
+
+    ``min_power_db`` gates candidates on the up-dechirped peak power of
+    the run's last preamble window (detector dB convention,
+    LoRaDetector.hpp:64: 0 dB = full-scale chirp) — the Pothos demod
+    block's ``thresh`` property (its examples use -30 dB). Without it,
+    silence and stopband leakage on quiet channels sync "perfectly"
+    (their all-equal argmax bins look like a preamble run)."""
     n, osr, step = params.n, params.osr, params.step
     nwin = xr.shape[-1] // step
     lead = xr.shape[:-1]
@@ -79,12 +87,15 @@ def frame_sync_scan_planar(xr, xi, params: LoraParams,
     dr, di = jnp.asarray(dr), jnp.asarray(di)
 
     # up-dechirp (x * down) and down-dechirp (x * conj(down)), decimated
-    def bins_of(pr, pi):
+    def bins_of(pr, pi, with_peak=False):
         v_r = pr.reshape(*lead, nwin, n, osr)[..., 0]
         v_i = pi.reshape(*lead, nwin, n, osr)[..., 0]
-        return argmax_bins_planar(v_r, v_i, n)
+        return argmax_bins_planar(v_r, v_i, n, with_peak=with_peak)
 
-    ub = bins_of(ar * dr - ai * di, ar * di + ai * dr)
+    want_peak = min_power_db is not None
+    ub = bins_of(ar * dr - ai * di, ar * di + ai * dr, with_peak=want_peak)
+    if want_peak:
+        ub, up_peak = ub
     db = bins_of(ar * dr + ai * di, ai * dr - ar * di)
 
     # --- preamble run lengths (vectorized run-detect) ---------------------
@@ -144,6 +155,10 @@ def frame_sync_scan_planar(xr, xi, params: LoraParams,
     cfo_bins = _round_half_even((bin_dn + bin_up) / 2.0)
     start = (w_idx - preamble_len + 1) * step + tau
     valid = is_end & has_dwin & (start >= 0)
+    if want_peak:
+        power_db = (10.0 * jnp.log10(jnp.maximum(up_peak, 1e-30))
+                    - 20.0 * math.log10(n))
+        valid = valid & (power_db >= jnp.float32(min_power_db))
     return SyncScan(valid, start, cfo_bins, tau,
                     ub.astype(jnp.int32), db.astype(jnp.int32))
 
@@ -179,10 +194,12 @@ def _kth_valid(valid, k_max: int):
 
 
 @partial(jax.jit, static_argnames=("params", "n_payload_symbols",
-                                   "max_frames", "preamble_len"))
+                                   "max_frames", "preamble_len",
+                                   "min_power_db"))
 def receive_block_planar(xr, xi, params: LoraParams,
                          n_payload_symbols: int, max_frames: int = 4,
-                         preamble_len: int = 8) -> BlockFrames:
+                         preamble_len: int = 8,
+                         min_power_db: float | None = None) -> BlockFrames:
     """Demodulate every frame in a continuous block, fully on-device.
 
     One jit over ``[..., channels, T]`` planes: the two-sided dechirp
@@ -200,7 +217,8 @@ def receive_block_planar(xr, xi, params: LoraParams,
     lead = xr.shape[:-1]
     T = xr.shape[-1]
 
-    scan = frame_sync_scan_planar(xr, xi, params, preamble_len)
+    scan = frame_sync_scan_planar(xr, xi, params, preamble_len,
+                                  min_power_db=min_power_db)
     pos, found = _kth_valid(scan.valid, max_frames)           # [..., K]
 
     def pick(field):
@@ -265,3 +283,26 @@ def receive_block_planar(xr, xi, params: LoraParams,
     )
     return BlockFrames(found, start, cfo_bins, res.symbols, res.sync_word,
                        res.cfo, res.time_offset)
+
+
+@partial(jax.jit, static_argnames=("k", "params", "n_payload_symbols",
+                                   "max_frames", "preamble_len",
+                                   "taps_per_branch", "min_power_db"))
+def receive_wideband_planar(xr, xi, k: int, params: LoraParams,
+                            n_payload_symbols: int, max_frames: int = 4,
+                            preamble_len: int = 8,
+                            taps_per_branch: int = 7,
+                            min_power_db: float | None = -30.0) -> BlockFrames:
+    """One-call wideband receiver, fully on-device: polyphase-channelize a
+    ``[..., T]`` wideband stream into ``k`` sub-channels and run the
+    batched block receiver on every channel in the same program.
+    Returns :class:`BlockFrames` with a leading channel axis
+    ``[..., k, max_frames]``. Complex-free throughout (planar float32).
+    ``min_power_db`` (default -30 dB, the Pothos demod examples' thresh)
+    keeps quiet channels from syncing on silence or stopband leakage."""
+    from ..ops.channelizer import channelize_planar
+
+    cr, ci = channelize_planar(xr, xi, k, taps_per_branch)
+    return receive_block_planar(cr, ci, params, n_payload_symbols,
+                                max_frames, preamble_len,
+                                min_power_db=min_power_db)

@@ -90,15 +90,22 @@ class PlanarDetection(NamedTuple):
     peak_im: jnp.ndarray
 
 
-def argmax_bins_planar(xr, xi, n: int, mxu_dtype=None):
+def argmax_bins_planar(xr, xi, n: int, mxu_dtype=None, with_peak=False):
     """DFT + |.|² + argmax only — the detection decision without the
     metric outputs (power dB, noise, fIndex, peak phase). The frame-sync
     scan consumes nothing but the bin index over [.., windows, N], so
     skipping the metric passes saves several full-spectrum elementwise
     rounds and per-window gathers on a memory-bound stage. Identical
-    ``index`` semantics to :func:`detect_planar` (same argmax tie-break)."""
+    ``index`` semantics to :func:`detect_planar` (same argmax tie-break).
+
+    ``with_peak=True`` additionally returns the peak |.|² (one extra
+    fused reduction) for power-threshold gating."""
     sr, si = dft_planar(xr, xi, n, mxu_dtype=mxu_dtype)
-    return jnp.argmax(sr * sr + si * si, axis=-1).astype(jnp.int32)
+    mag2 = sr * sr + si * si
+    bins = jnp.argmax(mag2, axis=-1).astype(jnp.int32)
+    if with_peak:
+        return bins, jnp.max(mag2, axis=-1)
+    return bins
 
 
 def detect_planar(xr, xi, n: int, mxu_dtype=None) -> PlanarDetection:

@@ -176,3 +176,39 @@ def test_planar_wideband_lora_receive():
         assert kidx.size == 1
         dec = np.asarray(modem.decode(np.asarray(blk.symbols)[kidx[0]]))
         assert np.array_equal(dec, pay)
+
+
+def test_receive_wideband_planar_one_call():
+    """The one-jit wideband receiver finds and decodes frames on the
+    occupied channels and reports none on the quiet ones."""
+    from lora_phy_tpu.models import stream, sync
+    from lora_phy_tpu.ops.channelizer import synthesize_channels_planar
+
+    k = 4
+    p = LoraParams(sf=7)
+    payloads = np.stack([np.arange(16, dtype=np.uint8),
+                         (np.arange(16, dtype=np.uint8) * 3 + 2).astype(np.uint8)])
+    syms = np.asarray(modem.encode(payloads), np.int32)
+    frames = np.stack([
+        np.asarray(stream.frame_modulate(syms[c], p)) for c in range(2)
+    ])
+    gap = np.zeros((2, 600), np.complex64)
+    streams = np.concatenate([gap, frames, gap], axis=-1)
+    F = streams.shape[-1]
+    sr = np.zeros((k, F), np.float32)
+    si = np.zeros((k, F), np.float32)
+    sr[1], si[1] = streams[0].real, streams[0].imag
+    sr[2], si[2] = streams[1].real, streams[1].imag
+    wr, wi = synthesize_channels_planar(sr, si, k, taps_per_branch=15)
+
+    blk = sync.receive_wideband_planar(
+        np.asarray(wr), np.asarray(wi), k, p, syms.shape[-1],
+        max_frames=2, taps_per_branch=15,
+    )
+    found = np.asarray(blk.found)                  # [k, 2]
+    assert found[1].sum() == 1 and found[2].sum() == 1
+    assert found[0].sum() == 0 and found[3].sum() == 0
+    for chan, pay in ((1, payloads[0]), (2, payloads[1])):
+        i = np.flatnonzero(found[chan])[0]
+        dec = np.asarray(modem.decode(np.asarray(blk.symbols)[chan, i]))
+        assert np.array_equal(dec, pay)
