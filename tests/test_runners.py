@@ -205,3 +205,19 @@ def test_imports_do_not_initialize_backend(tmp_path):
                          capture_output=True, text=True, timeout=120)
     assert out.returncode == 0, out.stderr
     assert out.stdout.strip().endswith("cpu")
+
+
+def test_topology_runner_cli(capfd):
+    """lora-topology runs a reference .pth end-to-end and reports decodes."""
+    from lora_phy_tpu.runners import topology_runner
+
+    rc = topology_runner.main([
+        "--file=/root/reference/examples/lora_simulation.pth",
+        "--ticks=2", "--sf=7", "--mtu=20",
+    ])
+    out, _ = capfd.readouterr()
+    assert rc == 0
+    assert "lora test message 0" in out
+    assert "dropped=0" in out
+
+    assert topology_runner.main([]) == 1
