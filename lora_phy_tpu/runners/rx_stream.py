@@ -1,0 +1,145 @@
+"""Streaming RX: continuous IQ (file or stdin, cf32/ci16/ci8) -> frames.
+
+The production receive loop the reference has no counterpart for: native
+ingest (format conversion through runtime/lora_runtime.cpp), fixed-size
+block + overlap carry buffering, and the fully device-side block receiver
+(models/sync.receive_block_planar — scan, candidate selection, window
+extraction, preamble-anchored demod of up to ``--max-frames`` frames per
+block in ONE program). One line per decoded frame:
+
+    frame @SAMPLE sync=0xNN cfo_bins=N payload=HEX
+
+Buffering contract: each processed buffer = ``carry ++ block`` where the
+carry is one worst-case frame plus a symbol, so every frame fully inside
+the stream is fully inside at least one buffer; duplicates from the
+overlap are suppressed by absolute start index. Constant buffer shape =
+one jit compilation for the whole run. ``--checkpoint=PATH`` persists the
+carry/position/dedupe state across invocations (resume mid-stream).
+
+Flags: ``--in=FILE|-`` ``--sf`` ``--cr`` ``--bw`` ``--osr`` ``--sync``
+``--format=cf32|ci16|ci8`` ``--scale`` ``--payload-len=BYTES``
+``--block=SAMPLES`` ``--max-frames=K`` ``--thresh=DB``
+``--checkpoint=PATH`` ``--quiet``
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+import numpy as np
+
+from ._cli import bandwidth_flag, params_from, parse_flags, use_cpu
+
+_FORMATS = {"cf32": (np.float32, 8), "ci16": (np.int16, 4), "ci8": (np.int8, 2)}
+
+
+def main(argv=None) -> int:
+    use_cpu()
+    flags = parse_flags(sys.argv[1:] if argv is None else argv, {
+        "in": (str, ""),
+        "sf": (int, 7),
+        "cr": (int, 1),
+        "bw": (bandwidth_flag, None),
+        "osr": (int, 1),
+        "sync": (lambda v: int(v, 0), 0x12),
+        "format": (str, "cf32"),
+        "scale": (float, 1.0),
+        "payload-len": (int, 16),
+        "block": (int, 1 << 16),
+        "max-frames": (int, 8),
+        "thresh": (float, -30.0),
+        "checkpoint": (str, ""),
+        "quiet": (None, False),
+    })
+    if flags["format"] not in _FORMATS:
+        print(f"Unknown --format={flags['format']}", file=sys.stderr)
+        return 1
+    params = params_from({k: v for k, v in flags.items() if v is not None})
+
+    from .. import runtime
+    from ..models import modem, stream, sync
+
+    dtype, bytes_per_sample = _FORMATS[flags["format"]]
+    n_payload_symbols = flags["payload-len"] * 2      # simple Hamming84 chain
+    frame_len = (stream.frame_overhead_samples(params)
+                 + n_payload_symbols * params.step)
+    carry_len = frame_len + params.step
+    block = max(flags["block"], frame_len)            # a frame must fit
+
+    carry_re = np.zeros(carry_len, np.float32)
+    carry_im = np.zeros(carry_len, np.float32)
+    base = -carry_len                                  # abs index of carry[0]
+    reported: set[int] = set()
+    n_frames = 0
+
+    ckpt = pathlib.Path(flags["checkpoint"]) if flags["checkpoint"] else None
+    if ckpt and ckpt.exists():
+        z = np.load(ckpt)
+        carry_re, carry_im = z["re"], z["im"]
+        base = int(z["base"])
+        reported = set(int(s) for s in z["reported"])
+        n_frames = int(z["n_frames"])
+
+    src = (sys.stdin.buffer if flags["in"] in ("", "-")
+           else open(flags["in"], "rb"))
+
+    def process(buf_re, buf_im, buf_base):
+        nonlocal n_frames
+        blk = sync.receive_block_planar(
+            buf_re, buf_im, params, n_payload_symbols,
+            max_frames=flags["max-frames"],
+            min_power_db=flags["thresh"],
+        )
+        found = np.asarray(blk.found)
+        starts = np.asarray(blk.start)
+        for k in np.flatnonzero(found):
+            abs_start = buf_base + int(starts[k])
+            if abs_start in reported:
+                continue
+            reported.add(abs_start)
+            n_frames += 1
+            payload = np.asarray(
+                modem.decode(np.asarray(blk.symbols)[k])
+            ).tobytes()
+            print(f"frame @{abs_start} "
+                  f"sync=0x{int(np.asarray(blk.sync)[k]):02x} "
+                  f"cfo_bins={int(np.asarray(blk.cfo_bins)[k])} "
+                  f"payload={payload.hex()}", flush=True)
+
+    try:
+        while True:
+            raw = src.read(block * bytes_per_sample)
+            if not raw:
+                break
+            n = len(raw) // bytes_per_sample
+            arr = np.frombuffer(raw[: n * bytes_per_sample], dtype)
+            re, im = runtime.to_planar(arr, flags["scale"])
+            # a short tail chunk is processed unpadded (one extra jit
+            # trace at most, and the carry stays exactly the real stream
+            # so --checkpoint resume is gap-free)
+            buf_re = np.concatenate([carry_re, re])
+            buf_im = np.concatenate([carry_im, im])
+            process(buf_re, buf_im, base)
+            keep = min(carry_len, buf_re.size)
+            base += buf_re.size - keep                 # abs index of carry[0]
+            carry_re = buf_re[-keep:].copy()
+            carry_im = buf_im[-keep:].copy()
+            # keep the dedupe set bounded: starts behind the carry can
+            # never be reported again
+            reported = {s for s in reported if s >= base - frame_len}
+    finally:
+        if src is not sys.stdin.buffer:
+            src.close()
+
+    if ckpt:
+        np.savez(ckpt, re=carry_re, im=carry_im, base=np.int64(base),
+                 reported=np.asarray(sorted(reported), np.int64),
+                 n_frames=np.int64(n_frames))
+    if not flags["quiet"]:
+        print(f"{n_frames} frames", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,107 @@
+"""Streaming RX CLI: native-ingest block receiver over files/stdin with
+overlap carry, dedupe, and checkpoint/resume."""
+
+import io
+import sys
+
+import numpy as np
+import pytest
+
+from lora_phy_tpu.models import modem, stream
+from lora_phy_tpu.runners import rx_stream
+from lora_phy_tpu.utils.params import LoraParams
+
+
+def _make_stream(payloads, p, gaps):
+    """Frames at increasing offsets separated by silence gaps; returns
+    (complex stream, true start indices)."""
+    parts, starts, pos = [], [], 0
+    for pay, gap in zip(payloads, gaps):
+        parts.append(np.zeros(gap, np.complex64))
+        pos += gap
+        syms = np.asarray(modem.encode(pay), np.int32)
+        fr = np.asarray(stream.frame_modulate(syms, p))
+        starts.append(pos)
+        parts.append(fr)
+        pos += fr.size
+    parts.append(np.zeros(1500, np.complex64))
+    return np.concatenate(parts), starts
+
+
+def _interleave(x):
+    out = np.empty(x.size * 2, np.float32)
+    out[0::2] = x.real
+    out[1::2] = x.imag
+    return out.tobytes()
+
+
+@pytest.fixture
+def frames_fixture():
+    p = LoraParams(sf=7)
+    rng = np.random.RandomState(3)
+    payloads = [rng.randint(0, 256, 16).astype(np.uint8) for _ in range(3)]
+    sig, starts = _make_stream(payloads, p, gaps=[700, 900, 1100])
+    return p, payloads, sig, starts
+
+
+def test_rx_stream_file(tmp_path, capfd, frames_fixture):
+    p, payloads, sig, starts = frames_fixture
+    path = tmp_path / "s.iq"
+    path.write_bytes(_interleave(sig))
+    # small blocks force frames to span block boundaries
+    rc = rx_stream.main([f"--in={path}", "--sf=7", "--payload-len=16",
+                         "--block=8192"])
+    out, err = capfd.readouterr()
+    assert rc == 0
+    lines = [l for l in out.splitlines() if l.startswith("frame @")]
+    assert len(lines) == 3 and "3 frames" in err
+    for line, pay, s in zip(lines, payloads, starts):
+        assert f"@{s} " in line
+        assert f"payload={pay.tobytes().hex()}" in line
+        assert "sync=0x12" in line
+
+
+def test_rx_stream_stdin_ci16(capfd, frames_fixture, monkeypatch):
+    p, payloads, sig, starts = frames_fixture
+    scaled = np.empty(sig.size * 2, np.int16)
+    scaled[0::2] = np.round(sig.real * 32767).astype(np.int16)
+    scaled[1::2] = np.round(sig.imag * 32767).astype(np.int16)
+    class _Stdin:
+        buffer = io.BytesIO(scaled.tobytes())
+
+    monkeypatch.setattr(sys, "stdin", _Stdin())
+    # int formats are normalized to [-1, 1] natively; scale is a further
+    # multiplier (runtime/lora_runtime.cpp:36-44), so the default 1.0 is
+    # right for full-scale captures
+    rc = rx_stream.main(["--sf=7", "--payload-len=16", "--block=8192",
+                         "--format=ci16"])
+    out, _ = capfd.readouterr()
+    assert rc == 0
+    lines = [l for l in out.splitlines() if l.startswith("frame @")]
+    assert len(lines) == 3
+    for line, pay in zip(lines, payloads):
+        assert f"payload={pay.tobytes().hex()}" in line
+
+
+def test_rx_stream_checkpoint_resume(tmp_path, capfd, frames_fixture):
+    p, payloads, sig, starts = frames_fixture
+    raw = _interleave(sig)
+    # split INSIDE the second frame so resume must carry it across runs
+    split_sample = starts[1] + 400
+    a, b = tmp_path / "a.iq", tmp_path / "b.iq"
+    a.write_bytes(raw[: split_sample * 8])
+    b.write_bytes(raw[split_sample * 8:])
+    ck = tmp_path / "ck.npz"
+
+    assert rx_stream.main([f"--in={a}", "--sf=7", "--payload-len=16",
+                           "--block=8192", f"--checkpoint={ck}"]) == 0
+    out1, _ = capfd.readouterr()
+    assert rx_stream.main([f"--in={b}", "--sf=7", "--payload-len=16",
+                           "--block=8192", f"--checkpoint={ck}"]) == 0
+    out2, _ = capfd.readouterr()
+    lines = [l for l in (out1 + out2).splitlines() if l.startswith("frame @")]
+    assert len(lines) == 3                      # each frame exactly once
+    got_starts = sorted(int(l.split()[1][1:]) for l in lines)
+    assert got_starts == starts
+    for line, pay in zip(lines, payloads):
+        assert f"payload={pay.tobytes().hex()}" in line
