@@ -153,13 +153,14 @@ def frame_demodulate(stream, params: LoraParams, n_payload_symbols: int,
     # residual (fractional) CFO anchored on the preamble — unbiased for
     # any sync word, unlike the inline sync-pair estimator (see
     # ops.planar.estimate_preamble_planar)
-    from ..ops.planar import estimate_preamble_planar
+    from ..ops.planar import _preamble_phase_step, estimate_preamble_planar
 
     pre_dech = np.asarray(modem.dechirp(pre_sec, params))
     cfo_resid = estimate_preamble_planar(
         jnp.asarray(np.ascontiguousarray(pre_dech.real)),
         jnp.asarray(np.ascontiguousarray(pre_dech.imag)),
         params.n, params.osr,
+        phase_step=_preamble_phase_step(params.sf, params.osr, params.scale),
     )
     dech = modem.dechirp(window, params)
     out = modem.demodulate(

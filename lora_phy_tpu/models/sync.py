@@ -272,10 +272,11 @@ def receive_block_planar(xr, xi, params: LoraParams,
     yr, yi = dechirp_planar(dr, di, params)
     # residual fractional CFO anchored on the preamble section — unbiased
     # for any sync word (ops.planar.estimate_preamble_planar)
-    from ..ops.planar import estimate_preamble_planar
+    from ..ops.planar import _preamble_phase_step, estimate_preamble_planar
 
     cfo_resid = estimate_preamble_planar(
-        yr[..., :pre_len], yi[..., :pre_len], n, osr
+        yr[..., :pre_len], yi[..., :pre_len], n, osr,
+        phase_step=_preamble_phase_step(params.sf, params.osr, params.scale),
     )
     res = demodulate_planar(
         yr[..., pre_len:], yi[..., pre_len:], params,

@@ -14,6 +14,7 @@ Equality with the complex path is gated by tests/test_planar.py.
 
 from __future__ import annotations
 
+import functools
 import math
 from functools import partial
 from typing import NamedTuple
@@ -197,7 +198,32 @@ def _estimate_planar(xr, xi, n: int, osr: int, window,
     return cfo.astype(jnp.float32), time_offset.astype(jnp.float32)
 
 
-def estimate_preamble_planar(pr, pi, n: int, osr: int):
+@functools.lru_cache(maxsize=32)
+def _preamble_phase_step(sf: int, osr: int, scale: float) -> float:
+    """Deterministic inter-symbol phase delta of dechirped base upchirps.
+
+    Phase-continuous modulation steps the carrier phase by a fixed
+    lattice amount per symbol (measured: pi at osr=1/scale=1, pi/2 at
+    osr=2, 0 at scale=2, ...), which rides the dechirped preamble tones
+    and would alias the phase-slope CFO term by that fraction of a bin.
+    Measured here once per config from the float64 host oracle (exact by
+    construction, no closed form to get wrong)."""
+    from .chirp import gen_chirp
+
+    n = 1 << sf
+    step = n * osr
+    up, _ = gen_chirp(n, osr, 2 * step, 0.0, down=False, ampl=1.0,
+                      bw_scale=scale)
+    down, _ = gen_chirp(n, osr, step, 0.0, down=True, ampl=1.0,
+                        bw_scale=scale)
+    dech = (np.asarray(up).reshape(2, step) * np.asarray(down))
+    spec = np.fft.fft(dech.reshape(2, n, osr)[:, :, 0], axis=-1)
+    pk = spec[np.arange(2), np.abs(spec).argmax(-1)]
+    return float(np.angle(pk[1] * np.conj(pk[0])))
+
+
+def estimate_preamble_planar(pr, pi, n: int, osr: int,
+                             phase_step: float = 0.0):
     """Unbiased residual-CFO estimate from dechirped PREAMBLE windows.
 
     The reference-mirroring 2-symbol estimator reads the sync pair's bins
@@ -209,6 +235,10 @@ def estimate_preamble_planar(pr, pi, n: int, osr: int):
     channel alone: coarse = mean(signed argmax + fractional interp), fine =
     peak-phase slope across windows (resolves CFO mod 1 bin), combined by
     integer disambiguation. Returns CFO in bins, [...]-shaped.
+
+    ``phase_step``: the modulator's deterministic inter-symbol phase
+    delta (:func:`_preamble_phase_step`), subtracted from the slope so
+    the fine term measures the channel alone.
     """
     lead = pr.shape[:-1]
     s = pr.shape[-1] // (n * osr)
@@ -218,9 +248,8 @@ def estimate_preamble_planar(pr, pi, n: int, osr: int):
     sb = jnp.where(det.index > n // 2, det.index - n, det.index)
     coarse = jnp.mean(sb.astype(jnp.float32) + det.findex, axis=-1)
     phase = jnp.arctan2(det.peak_im, det.peak_re).astype(jnp.float32)
-    d = phase[..., 1:] - phase[..., :-1]
-    d = jnp.where(d > math.pi, d - _TWO_PI, d)
-    d = jnp.where(d < -math.pi, d + _TWO_PI, d)
+    d = phase[..., 1:] - phase[..., :-1] - jnp.float32(phase_step)
+    d = jnp.mod(d + math.pi, _TWO_PI) - math.pi
     fine = jnp.mean(d, axis=-1) / jnp.float32(_TWO_PI)   # = cfo mod 1 bin
     return (fine + jnp.round(coarse - fine)).astype(jnp.float32)
 

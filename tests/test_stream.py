@@ -218,3 +218,44 @@ def test_adaptive_stream_under_impairments():
     assert info["cfo_bins"] == 2
     assert got == payload
     assert info["crc_ok"]
+
+
+def test_preamble_cfo_estimator_accuracy():
+    """estimate_preamble_planar recovers injected fractional CFO within
+    0.05 bin at 10 dB SNR, for any sync word (the biased sync-pair
+    estimator is off by mean(sync bins)/N — e.g. 0.69 bin at 0x8e)."""
+    from lora_phy_tpu.models import modem
+    from lora_phy_tpu.ops.impair import apply_awgn, apply_cfo_continuous
+    from lora_phy_tpu.ops.planar import (_preamble_phase_step,
+                                         estimate_preamble_planar)
+    import jax
+
+    p = LoraParams(sf=7, sync_word=0x8e)
+    pay = np.arange(10, dtype=np.uint8)
+    syms = np.asarray(modem.encode(pay), np.int32)
+    key = jax.random.PRNGKey(0)
+    step_phase = _preamble_phase_step(p.sf, p.osr, p.scale)
+    for true_cfo in (-0.31, 0.0, 0.22, 0.47):
+        fr0 = np.asarray(stream.frame_modulate(syms, p))
+        fr0 = np.asarray(apply_cfo_continuous(fr0, true_cfo, p.n, p.osr))
+        # clean-channel accuracy: the estimator must see the channel, not
+        # the lattice phase step (which alone aliases it by 0.5 bin)
+        sig0 = np.concatenate([np.zeros(300, np.complex64), fr0])
+        res0 = stream.frame_sync(sig0, p)
+        assert res0.found and res0.start == 300 and res0.cfo_bins == 0
+        pre = sig0[res0.start: res0.start + 8 * p.step]
+        dech = np.asarray(modem.dechirp(pre, p))
+        est = float(np.asarray(estimate_preamble_planar(
+            np.ascontiguousarray(dech.real), np.ascontiguousarray(dech.imag),
+            p.n, p.osr, phase_step=step_phase)))
+        assert abs(est - true_cfo) < 0.02, (true_cfo, est)
+        # at 10 dB the scan may trade timing against integer CFO (the two
+        # cancel in the dechirped domain) — only the round trip is gated:
+        # the streaming demod (which injects the preamble estimate)
+        # recovers the payload at this sync word despite the sync-pair
+        # estimator's 0.69-bin bias
+        sig = np.asarray(apply_awgn(key, sig0, 10.0))
+        out, res = stream.frame_demodulate(sig, p, syms.shape[-1])
+        assert out is not None
+        dec = np.asarray(modem.decode(np.asarray(out.symbols)))
+        assert np.array_equal(dec, pay), true_cfo
