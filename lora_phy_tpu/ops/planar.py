@@ -207,16 +207,17 @@ def _preamble_phase_step(sf: int, osr: int, scale: float) -> float:
     osr=2, 0 at scale=2, ...), which rides the dechirped preamble tones
     and would alias the phase-slope CFO term by that fraction of a bin.
     Measured here once per config from the float64 host oracle (exact by
-    construction, no closed form to get wrong)."""
-    from .chirp import gen_chirp
+    construction, no closed form to get wrong). Pure NumPy so it stays a
+    trace-time constant even when called while jitting."""
+    from .chirp import gen_chirp_np
 
     n = 1 << sf
     step = n * osr
-    up, _ = gen_chirp(n, osr, 2 * step, 0.0, down=False, ampl=1.0,
-                      bw_scale=scale)
-    down, _ = gen_chirp(n, osr, step, 0.0, down=True, ampl=1.0,
-                        bw_scale=scale)
-    dech = (np.asarray(up).reshape(2, step) * np.asarray(down))
+    up, _ = gen_chirp_np(n, osr, 2 * step, 0.0, down=False, ampl=1.0,
+                         bw_scale=scale)
+    down, _ = gen_chirp_np(n, osr, step, 0.0, down=True, ampl=1.0,
+                           bw_scale=scale)
+    dech = up.reshape(2, step) * down
     spec = np.fft.fft(dech.reshape(2, n, osr)[:, :, 0], axis=-1)
     pk = spec[np.arange(2), np.abs(spec).argmax(-1)]
     return float(np.angle(pk[1] * np.conj(pk[0])))
