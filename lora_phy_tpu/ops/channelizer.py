@@ -143,18 +143,29 @@ def _combined_bank(k: int, taps_per_branch: int):
     return wc, ws
 
 
+@functools.lru_cache(maxsize=16)
+def _combined_bank_planar(k: int, taps_per_branch: int) -> np.ndarray:
+    """Both planes and both output parts in ONE rhs:
+    ``[Xr | Xi] @ [[wc, -ws], [ws, wc]] = [out_r | out_i]`` —
+    a single ``[F, 2*taps*K] @ [2*taps*K, 2K]`` matmul."""
+    wc, ws = _combined_bank(k, taps_per_branch)
+    return np.block([[wc, -ws], [ws, wc]]).astype(np.float32)
+
+
 def channelize_planar(xr, xi, k: int, taps_per_branch: int = 7):
     """Planar twin of :func:`channelize` for complex-free TPU backends:
     ``(re, im) [..., T]`` float32 -> ``(re, im) [..., K, T//K]``.
 
-    FIR and channel DFT are folded into ONE im2col matmul per output
-    plane (``[F, taps*K] @ [taps*K, K]``) — measured 2.16x the staged
-    einsum formulation on the v5e chip (0.22 -> 0.475 Gsps at K=8; the
-    tiny-contraction einsum lowers to VPU reductions, the matmul rides
-    the MXU). Same windows/prototype/alignment as the complex path
-    (gated by tests/test_channelizer.py). Note TPU f32 matmuls run at
-    MXU (bf16-class) input precision by default — inconsequential below
-    the filter's ~50 dB stopband."""
+    FIR, channel DFT, both planes and both output parts are folded into
+    ONE im2col matmul (``[F, 2*taps*K] @ [2*taps*K, 2K]``) — measured 3x
+    the staged einsum formulation on the v5e chip (0.22 -> 0.65 Gsps at
+    K=8: the tiny-contraction einsum lowers to VPU reductions; a
+    per-plane matmul pair reaches 0.475; widening the output to 2K
+    columns buys the rest of the MXU utilisation). Same windows /
+    prototype / alignment as the complex path (gated by
+    tests/test_channelizer.py). Note TPU f32 matmuls run at MXU
+    (bf16-class) input precision by default — inconsequential below the
+    filter's ~50 dB stopband."""
     if taps_per_branch % 2 == 0:
         raise ValueError("taps_per_branch must be odd for aligned output")
     xr = jnp.asarray(xr)
@@ -177,15 +188,11 @@ def channelize_planar(xr, xi, k: int, taps_per_branch: int = 7):
         ]
         return jnp.concatenate(cols, axis=-1)             # [..., F, taps*K]
 
-    wc, ws = (jnp.asarray(m) for m in _combined_bank(k, taps_per_branch))
-    wr_, wi_ = windows(xr), windows(xi)
-
-    def mm(a, b):
-        return jnp.matmul(a, b, preferred_element_type=jnp.float32)
-
-    out_r = mm(wr_, wc) + mm(wi_, ws)                     # [..., F, K]
-    out_i = mm(wi_, wc) - mm(wr_, ws)
-    return out_r.swapaxes(-1, -2), out_i.swapaxes(-1, -2)  # [..., K, F]
+    rhs = jnp.asarray(_combined_bank_planar(k, taps_per_branch))
+    lhs = jnp.concatenate([windows(xr), windows(xi)], axis=-1)
+    out = jnp.matmul(lhs, rhs, preferred_element_type=jnp.float32)
+    return (out[..., :k].swapaxes(-1, -2),
+            out[..., k:].swapaxes(-1, -2))                # [..., K, F] x2
 
 
 def synthesize_channels_planar(sr, si, k: int, taps_per_branch: int = 7):
