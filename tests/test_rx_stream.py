@@ -105,3 +105,31 @@ def test_rx_stream_checkpoint_resume(tmp_path, capfd, frames_fixture):
     assert got_starts == starts
     for line, pay in zip(lines, payloads):
         assert f"payload={pay.tobytes().hex()}" in line
+
+
+def test_tx_stream_to_rx_stream_roundtrip(tmp_path, capfd):
+    """lora-tx-stream output round-trips through lora-rx-stream,
+    frame-for-frame, in both cf32 and ci8 wire formats."""
+    from lora_phy_tpu.runners import tx_stream
+
+    payloads = ["deadbeefcafef00d" * 2, "0102030405060708" * 2,
+                "a5a5a5a5a5a5a5a5" * 2]
+    plist = tmp_path / "p.txt"
+    plist.write_text("\n".join(payloads) + "\n")
+
+    for fmt in ("cf32", "ci8"):
+        sfile = tmp_path / f"s_{fmt}.iq"
+        rc = tx_stream.main([f"--payloads={plist}", f"--out={sfile}",
+                             "--sf=7", "--gap=900", f"--format={fmt}"])
+        _, err = capfd.readouterr()
+        assert rc == 0 and "3 frames" in err
+        rc = rx_stream.main([f"--in={sfile}", "--sf=7", "--payload-len=16",
+                             "--block=16384", f"--format={fmt}"])
+        out, _ = capfd.readouterr()
+        lines = [l for l in out.splitlines() if l.startswith("frame @")]
+        assert [l.split("payload=")[1] for l in lines] == payloads, fmt
+
+    # bad hex is a clean usage error
+    bad = tmp_path / "bad.txt"
+    bad.write_text("zzzz\n")
+    assert tx_stream.main([f"--payloads={bad}", f"--out={tmp_path/'x.iq'}"]) == 1
