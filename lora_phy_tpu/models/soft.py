@@ -1,0 +1,114 @@
+"""Soft-decision coded-chain decoding.
+
+The reference decodes hard argmax bins only (syndrome decoding,
+LoRaCodes.hpp:250-334; detect-only parity for CR 4/5-4/6) — no soft path
+exists upstream. This module adds one, TPU-first: per-symbol max-log bit
+LLRs come straight out of the demodulator's |DFT|² spectra
+(ops.planar.demodulate_spectrum_planar) as masked max-reductions, ride
+the *same* diagonal-deinterleave gather maps as the hard path
+(ops.coding._deinterleave_map applied to float LLR lanes instead of
+bits), and FEC decoding becomes a maximum-likelihood correlation against
+the 16-entry codeword book — one [.., nbits] @ [nbits, 16] matmul.
+
+Gains over hard decisions: the ML correlator *corrects* errors even for
+the detect-only CR 4/5 and 4/6 parity codes (the hard path can only
+flag them), and buys the classic soft-decoding SNR margin for CR 4/7-4/8
+(gated statistically in tests/test_soft.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import coding
+from .coded import CodedConfig, _fec_encode
+
+_NEG = jnp.float32(-3.4e38)
+
+
+@functools.lru_cache(maxsize=64)
+def _bit_masks(n: int, ppm: int, shift: int) -> np.ndarray:
+    """[ppm, N] bool: bit ``j`` of the data word carried by bin ``b``.
+
+    Word = binary_to_gray(b >> shift) (RX mapping, models/coded.py:142);
+    ``shift=2`` for LDRO where the two LSB bins carry no data."""
+    b = np.arange(n, dtype=np.uint16) >> shift
+    w = np.asarray(coding.binary_to_gray(jnp.asarray(b))).astype(np.uint32)
+    j = np.arange(ppm, dtype=np.uint32)[:, None]
+    return ((w[None, :] >> j) & 1).astype(bool)
+
+
+@functools.lru_cache(maxsize=16)
+def _codebook(cr: int) -> np.ndarray:
+    """[nbits, 16] float32 antipodal (±1) codeword book for ML scoring,
+    LSB-first bit order (matching coding.unpack_bits)."""
+    nib = np.arange(16, dtype=np.uint8)
+    cw = np.asarray(_fec_encode(jnp.asarray(nib), cr)).astype(np.uint32)
+    nbits = 4 + {1: 1, 2: 2, 3: 3, 4: 4}[cr]
+    j = np.arange(nbits, dtype=np.uint32)[:, None]
+    bits = ((cw[None, :] >> j) & 1).astype(np.float32)
+    return 2.0 * bits - 1.0                               # [nbits, 16]
+
+
+def symbol_llrs(mag2, cfg: CodedConfig):
+    """[..., S, N] symbol spectra -> [..., S, ppm] max-log bit LLRs.
+
+    ``LLR_j = max_{bin: bit_j=1} |X| - max_{bin: bit_j=0} |X|`` — two
+    masked max-reductions per bit over the spectrum magnitude (the
+    matched-filter statistic)."""
+    mag2 = jnp.asarray(mag2)
+    n = mag2.shape[-1]
+    masks = jnp.asarray(_bit_masks(n, cfg.ppm, 2 if cfg.ldro else 0))
+    m = jnp.sqrt(mag2)[..., None, :]                      # [..., S, 1, N]
+    one = jnp.max(jnp.where(masks, m, _NEG), axis=-1)     # [..., S, ppm]
+    zero = jnp.max(jnp.where(~masks, m, _NEG), axis=-1)
+    return (one - zero).astype(jnp.float32)
+
+
+def deinterleave_llrs(llrs, ppm: int, rdd: int):
+    """[..., S, ppm] symbol-bit LLRs -> [..., S//(4+rdd)*ppm, 4+rdd]
+    codeword-bit LLRs — the hard deinterleaver's gather map applied to
+    float lanes (reference: LoRaCodes.hpp:396-412)."""
+    nbits = 4 + rdd
+    s = llrs.shape[-2]
+    nblk = s // nbits
+    lead = llrs.shape[:-2]
+    flat = llrs[..., : nblk * nbits, :].reshape(*lead, nblk, nbits * ppm)
+    sel = jnp.take(flat, jnp.asarray(coding._deinterleave_map(ppm, rdd)),
+                   axis=-1)
+    return sel.reshape(*lead, nblk * ppm, nbits)
+
+
+def decode_payload_soft(mag2, nbytes: int, cfg: CodedConfig):
+    """[..., S, N] data-symbol spectra -> (payload, crc_ok, min_score).
+
+    Soft twin of models.coded.decode_payload: LLRs -> deinterleave -> ML
+    codeword correlation -> nibbles -> bytes -> dewhiten -> CRC.
+    ``min_score`` is the weakest codeword correlation margin (a soft
+    quality observable; larger is more confident)."""
+    llrs = symbol_llrs(mag2, cfg)
+    cw_llrs = deinterleave_llrs(llrs, cfg.ppm, cfg.rdd)   # [..., ncw, nbits]
+    cb = jnp.asarray(_codebook(cfg.cr))                   # [nbits, 16]
+    scores = jnp.matmul(cw_llrs, cb)                      # [..., ncw, 16]
+    nibbles = jnp.argmax(scores, axis=-1).astype(jnp.uint8)
+
+    top2 = jnp.sort(scores, axis=-1)[..., -2:]
+    margin = top2[..., 1] - top2[..., 0]                  # per-codeword
+    total = nbytes + (2 if cfg.crc else 0)
+    nibbles = nibbles[..., : total * 2]
+    framed = coding.nibbles_to_bytes(nibbles)
+    if cfg.whiten:
+        framed = coding.whiten_sx1272_lfsr(framed, 0, 4)
+    payload = framed[..., :nbytes]
+    if cfg.crc:
+        provided = framed[..., -2].astype(jnp.uint16) | (
+            framed[..., -1].astype(jnp.uint16) << 8
+        )
+        crc_ok = provided == coding.crc16_sx1272(payload)
+    else:
+        crc_ok = jnp.ones(payload.shape[:-1], dtype=bool)
+    min_score = jnp.min(margin[..., : total * 2], axis=-1)
+    return payload, crc_ok, min_score

@@ -272,8 +272,39 @@ def demodulate_planar(xr, xi, params: LoraParams, fused: bool = False,
     (broadcastable to the batch) bypasses the reference-mirroring
     2-symbol estimator — the streaming receiver supplies its unbiased
     preamble-anchored estimate here (:func:`estimate_preamble_planar`)."""
-    n, osr, step = params.n, params.osr, params.step
+    n = params.n
     mxu_dtype = jnp.bfloat16 if precision == "bf16" else None
+    yr, yi, rate, t_off, scale, cfo, time_offset = _demod_stage_planar(
+        xr, xi, params, assume_normalized, known_offsets
+    )
+
+    if fused:
+        if scale is not None:
+            yr = yr * scale[..., None, None]
+            yi = yi * scale[..., None, None]
+        from .pallas_demod import fused_demod
+        syms = fused_demod(yr, yi, rate, t_off, params)
+    else:
+        fr, fi = _rotated_windows_planar(yr, yi, rate, t_off, scale, params)
+        det = detect_planar(fr, fi, n, mxu_dtype=mxu_dtype)
+        syms = det.index
+
+    syms = syms.astype(jnp.uint16)
+    shift = (params.sf - 4) if params.sf > 4 else 0
+    hi = (syms[..., 0].astype(jnp.int32) >> shift) & 0x0F
+    lo = (syms[..., 1].astype(jnp.int32) >> shift) & 0x0F
+    sync = ((hi << 4) | lo).astype(jnp.uint8)
+    return PlanarDemodResult(syms[..., 2:], sync, cfo, time_offset)
+
+
+def _demod_stage_planar(xr, xi, params: LoraParams, assume_normalized,
+                        known_offsets):
+    """Common front of the planar demod: normalisation scan, offset
+    estimate (or injection), shifted symbol windows.
+
+    Returns ``(yr, yi, rate, t_off, scale, cfo, time_offset)`` with
+    ``yr/yi`` the [..., S, N] pre-rotation symbol windows."""
+    n, osr, step = params.n, params.osr, params.step
     total_symbols = xr.shape[-1] // step
     xr = xr[..., : total_symbols * step]
     xi = xi[..., : total_symbols * step]
@@ -316,40 +347,58 @@ def demodulate_planar(xr, xi, params: LoraParams, fused: bool = False,
 
     yr = _shifted_symbol_gather(xr, total_symbols, n, osr, t_off)
     yi = _shifted_symbol_gather(xi, total_symbols, n, osr, t_off)
+    return yr, yi, rate, t_off, scale, cfo, time_offset
 
-    if fused:
-        if scale is not None:
-            yr = yr * scale[..., None, None]
-            yi = yi * scale[..., None, None]
-        from .pallas_demod import fused_demod
-        syms = fused_demod(yr, yi, rate, t_off, params)
-    else:
-        s_idx = jnp.arange(total_symbols, dtype=jnp.float32) * jnp.float32(n)
-        start = rate[..., None] * (
-            s_idx + t_off.astype(jnp.float32)[..., None] / jnp.float32(osr)
-        )
-        ph = start[..., None] + rate[..., None, None] * jnp.arange(
-            n, dtype=jnp.float32
-        )
-        cr, si_ = jnp.cos(ph), jnp.sin(ph)
-        if scale is not None:
-            # normalisation rides the (fused, elementwise) rotation factors
-            cr = cr * scale[..., None, None]
-            si_ = si_ * scale[..., None, None]
-        fr = yr * cr - yi * si_
-        fi = yr * si_ + yi * cr
-        if window is not None:
-            w = jnp.asarray(window)
-            fr, fi = fr * w, fi * w
-        det = detect_planar(fr, fi, n, mxu_dtype=mxu_dtype)
-        syms = det.index
 
-    syms = syms.astype(jnp.uint16)
+def _rotated_windows_planar(yr, yi, rate, t_off, scale, params: LoraParams):
+    """Derotation (scale folded into the rotation factors) + window:
+    the pre-DFT [..., S, N] planes."""
+    n, osr = params.n, params.osr
+    total_symbols = yr.shape[-2]
+    window = _window_table(params)
+    s_idx = jnp.arange(total_symbols, dtype=jnp.float32) * jnp.float32(n)
+    start = rate[..., None] * (
+        s_idx + t_off.astype(jnp.float32)[..., None] / jnp.float32(osr)
+    )
+    ph = start[..., None] + rate[..., None, None] * jnp.arange(
+        n, dtype=jnp.float32
+    )
+    cr, si_ = jnp.cos(ph), jnp.sin(ph)
+    if scale is not None:
+        # normalisation rides the (fused, elementwise) rotation factors
+        cr = cr * scale[..., None, None]
+        si_ = si_ * scale[..., None, None]
+    fr = yr * cr - yi * si_
+    fi = yr * si_ + yi * cr
+    if window is not None:
+        w = jnp.asarray(window)
+        fr, fi = fr * w, fi * w
+    return fr, fi
+
+
+@partial(jax.jit, static_argnames=("params", "assume_normalized",
+                                   "precision"))
+def demodulate_spectrum_planar(xr, xi, params: LoraParams,
+                               assume_normalized: bool = False,
+                               precision: str = "f32",
+                               known_offsets=None):
+    """Same pipeline as :func:`demodulate_planar` but returns the full
+    |DFT|² spectra of the DATA symbols (sync pair stripped) for
+    soft-decision decoding: ``(mag2 [..., S-2, N], sync, cfo, to)``."""
+    n = params.n
+    mxu_dtype = jnp.bfloat16 if precision == "bf16" else None
+    yr, yi, rate, t_off, scale, cfo, time_offset = _demod_stage_planar(
+        xr, xi, params, assume_normalized, known_offsets
+    )
+    fr, fi = _rotated_windows_planar(yr, yi, rate, t_off, scale, params)
+    sr, si = dft_planar(fr, fi, n, mxu_dtype=mxu_dtype)
+    mag2 = sr * sr + si * si
+    syms = jnp.argmax(mag2[..., :2, :], axis=-1).astype(jnp.int32)
     shift = (params.sf - 4) if params.sf > 4 else 0
-    hi = (syms[..., 0].astype(jnp.int32) >> shift) & 0x0F
-    lo = (syms[..., 1].astype(jnp.int32) >> shift) & 0x0F
+    hi = (syms[..., 0] >> shift) & 0x0F
+    lo = (syms[..., 1] >> shift) & 0x0F
     sync = ((hi << 4) | lo).astype(jnp.uint8)
-    return PlanarDemodResult(syms[..., 2:], sync, cfo, time_offset)
+    return mag2[..., 2:, :], sync, cfo, time_offset
 
 
 def split_complex(x):

@@ -1,0 +1,80 @@
+"""Soft-decision decoding: noiseless equivalence with the hard chain and
+a statistical AWGN advantage gate (soft ML corrects what the hard
+detect-only parity codes cannot)."""
+
+import jax
+import numpy as np
+import pytest
+
+from lora_phy_tpu.models import coded, soft
+from lora_phy_tpu.models.coded import CodedConfig
+from lora_phy_tpu.ops import planar
+from lora_phy_tpu.ops.impair import apply_awgn
+from lora_phy_tpu.utils.params import LoraParams
+
+
+def _spectra_for(bins, params):
+    """Modulate coded bins (with sync) and come back through the
+    demodulator's spectrum path."""
+    re, im = planar.modulate_planar(np.asarray(bins, np.int32), params)
+    dr, di = planar.dechirp_planar(re, im, params)
+    mag2, sync, _, _ = planar.demodulate_spectrum_planar(dr, di, params)
+    return np.asarray(mag2), sync
+
+
+@pytest.mark.parametrize("cr", [1, 2, 3, 4])
+@pytest.mark.parametrize("ldro", [False, True])
+def test_soft_matches_hard_noiseless(cr, ldro):
+    p = LoraParams(sf=8)
+    cfg = CodedConfig(sf=8, cr=cr, ldro=ldro)
+    rng = np.random.RandomState(cr)
+    payload = rng.randint(0, 256, 24).astype(np.uint8)
+    bins = np.asarray(coded.encode_payload(payload, cfg))
+
+    mag2, sync = _spectra_for(bins, p)
+    assert int(np.asarray(sync)) == p.sync_word
+    out, crc_ok, margin = soft.decode_payload_soft(mag2, len(payload), cfg)
+    assert np.array_equal(np.asarray(out), payload)
+    assert bool(np.asarray(crc_ok))
+    assert float(np.asarray(margin)) > 0.0
+
+    hard, hard_ok, _ = coded.decode_payload(
+        np.argmax(mag2, axis=-1).astype(np.uint16), len(payload), cfg)
+    assert np.array_equal(np.asarray(hard), payload)
+
+
+def _per(cr, snr_db, n_frames, soft_path, sf=7, payload_len=12, seed=0):
+    p = LoraParams(sf=sf)
+    cfg = CodedConfig(sf=sf, cr=cr)
+    rng = np.random.RandomState(seed)
+    payloads = rng.randint(0, 256, (n_frames, payload_len)).astype(np.uint8)
+    bins = np.asarray(coded.encode_payload(payloads, cfg))
+    re, im = planar.modulate_planar(bins.astype(np.int32), p)
+    iq = np.asarray(re) + 1j * np.asarray(im)
+    noisy = np.asarray(apply_awgn(jax.random.PRNGKey(seed), iq, snr_db))
+    nr = np.ascontiguousarray(noisy.real.astype(np.float32))
+    ni = np.ascontiguousarray(noisy.imag.astype(np.float32))
+    dr, di = planar.dechirp_planar(nr, ni, p)
+    if soft_path:
+        mag2, _, _, _ = planar.demodulate_spectrum_planar(dr, di, p)
+        out, _, _ = soft.decode_payload_soft(np.asarray(mag2),
+                                             payload_len, cfg)
+    else:
+        res = planar.demodulate_planar(dr, di, p)
+        out, _, _ = coded.decode_payload(np.asarray(res.symbols),
+                                         payload_len, cfg)
+    errors = np.any(np.asarray(out) != payloads, axis=-1)
+    return int(errors.sum())
+
+
+def test_soft_beats_hard_under_awgn():
+    """Near the SF7 waterfall knee, soft ML decoding loses strictly fewer
+    frames than hard decisions — for the Hamming CR 4/8 (soft margin) and
+    for the detect-only parity CR 4/5 (hard can't correct at all)."""
+    for cr, snr in ((4, -11.0), (1, -10.0)):
+        hard = _per(cr, snr, 150, soft_path=False)
+        sft = _per(cr, snr, 150, soft_path=True)
+        # identical noise realisations: soft can only remove errors
+        assert sft <= hard, (cr, hard, sft)
+        assert hard - sft >= 3, (cr, hard, sft)   # a real, visible gain
+        assert hard >= 5, (cr, hard)              # operating near the knee
