@@ -122,12 +122,18 @@ def first_candidate(scan) -> tuple[int, int] | None:
 
 def frame_demodulate(stream, params: LoraParams, n_payload_symbols: int,
                      preamble_len: int = 8,
-                     min_power_db: float | None = None):
+                     min_power_db: float | None = None,
+                     return_spectra: bool = False):
     """Sync + demodulate one frame from a continuous stream. Returns
     (symbols [n_payload_symbols], sync_result). The payload section is
     dechirped and routed through the working demod path with the sync
     symbols re-attached from the stream's sync section (so the standard
-    2-symbol estimator sees the true sync chirps)."""
+    2-symbol estimator sees the true sync chirps).
+
+    ``return_spectra=True`` returns ``(out, res, mag2)`` where ``mag2``
+    is the [n_payload_symbols, N] |DFT|² of the data symbols (same
+    window/derotation as the decisions) — the soft-decision input
+    (models.soft)."""
     res = frame_sync(stream, params, preamble_len, min_power_db=min_power_db)
     if not res.found:
         return None, res
@@ -166,7 +172,17 @@ def frame_demodulate(stream, params: LoraParams, n_payload_symbols: int,
     out = modem.demodulate(
         dech, params, known_offsets=(cfo_resid, jnp.zeros_like(cfo_resid))
     )
-    return out, res
+    if not return_spectra:
+        return out, res
+    from ..ops.planar import demodulate_spectrum_planar
+
+    d = np.asarray(dech)
+    mag2, _, _, _ = demodulate_spectrum_planar(
+        jnp.asarray(np.ascontiguousarray(d.real)),
+        jnp.asarray(np.ascontiguousarray(d.imag)),
+        params, known_offsets=(cfo_resid, jnp.zeros_like(cfo_resid)),
+    )
+    return out, res, mag2
 
 
 class StreamState(NamedTuple):
@@ -333,11 +349,15 @@ def frame_encode(payload, cfg, params: LoraParams, preamble_len: int = 8):
     return frame_modulate(symbols, params, preamble_len=preamble_len)
 
 
-def frame_decode_adaptive(samples, params: LoraParams, preamble_len: int = 8):
+def frame_decode_adaptive(samples, params: LoraParams, preamble_len: int = 8,
+                          soft: bool = False):
     """Sync one frame and decode it using only the stream contents: the
     8-symbol explicit header supplies payload length, CR and CRC mode.
 
     Returns ``(payload bytes | None, info dict, consumed_samples)``.
+    ``soft=True`` decodes the payload from the symbol spectra via ML
+    codeword correlation (models.soft; ~1 dB PER gain) — the header stays
+    hard-decided (it is CR 4/8 at PPM sf-2, already the most robust cell).
     """
     from . import coded
     from .coded import CodedConfig
@@ -350,7 +370,9 @@ def frame_decode_adaptive(samples, params: LoraParams, preamble_len: int = 8):
     if avail < 8:
         return None, {"found": False}, 0
 
-    out, _ = frame_demodulate(samples, params, int(avail), preamble_len)
+    dm = frame_demodulate(samples, params, int(avail), preamble_len,
+                          return_spectra=soft)
+    out = dm[0]
     if out is None:
         return None, {"found": False}, 0
     bins = np.asarray(out.symbols)
@@ -366,7 +388,17 @@ def frame_decode_adaptive(samples, params: LoraParams, preamble_len: int = 8):
     nsym = coded.payload_symbol_count(nbytes, cfg)
     if bins.shape[-1] - 8 < nsym:
         return None, {**info, "truncated": True}, 0
-    payload, crc_ok, fec_err = coded.decode_payload(bins[8:8 + nsym], nbytes, cfg)
+    if soft:
+        from . import soft as softmod
+
+        mag2 = np.asarray(dm[2])
+        payload, crc_ok, margin = softmod.decode_payload_soft(
+            mag2[8:8 + nsym], nbytes, cfg)
+        info["soft_margin"] = float(np.asarray(margin))
+        fec_err = 0
+    else:
+        payload, crc_ok, fec_err = coded.decode_payload(
+            bins[8:8 + nsym], nbytes, cfg)
     info["crc_ok"] = bool(np.all(np.asarray(crc_ok)))
     info["fec_errors"] = int(np.asarray(fec_err))
     consumed = (res.payload_start + (8 + nsym) * step)
@@ -378,9 +410,10 @@ class AdaptiveStreamDemodulator:
     no prior knowledge of payload sizes; carries a tail between blocks."""
 
     def __init__(self, params: LoraParams, preamble_len: int = 8,
-                 max_frame_len: int | None = None):
+                 max_frame_len: int | None = None, soft: bool = False):
         self.params = params
         self.preamble_len = preamble_len
+        self.soft = soft
         # worst case: 255-byte payload + CRC at CR 4/8
         if max_frame_len is None:
             from .coded import CodedConfig
@@ -405,7 +438,7 @@ class AdaptiveStreamDemodulator:
         offset = 0
         while buf.shape[-1] - offset >= 16 * self.params.step:
             payload, info, consumed = frame_decode_adaptive(
-                buf[offset:], self.params, self.preamble_len
+                buf[offset:], self.params, self.preamble_len, soft=self.soft
             )
             if payload is not None:
                 frames.append((base + offset + info["start"], payload, info))
