@@ -161,7 +161,10 @@ def decode_frame(samples, params: LoraParams, preamble_len: int = 8,
     avail = (np.asarray(samples).shape[-1] - res.payload_start) // params.step
     if avail < 8:
         return None
-    out, _ = stream.frame_demodulate(samples, params, int(avail), preamble_len)
+    # gr-lora_sdr preambles carry no per-symbol phase step (unlike our
+    # lattice modulator's pi): tell the fine-CFO estimator so
+    out, _ = stream.frame_demodulate(samples, params, int(avail), preamble_len,
+                                     tx_phase_step=0.0)
     if out is None:
         return None
     bins = np.asarray(out.symbols).astype(np.int64)

@@ -123,7 +123,8 @@ def first_candidate(scan) -> tuple[int, int] | None:
 def frame_demodulate(stream, params: LoraParams, n_payload_symbols: int,
                      preamble_len: int = 8,
                      min_power_db: float | None = None,
-                     return_spectra: bool = False):
+                     return_spectra: bool = False,
+                     tx_phase_step: float | None = None):
     """Sync + demodulate one frame from a continuous stream. Returns
     (symbols [n_payload_symbols], sync_result). The payload section is
     dechirped and routed through the working demod path with the sync
@@ -133,7 +134,15 @@ def frame_demodulate(stream, params: LoraParams, n_payload_symbols: int,
     ``return_spectra=True`` returns ``(out, res, mag2)`` where ``mag2``
     is the [n_payload_symbols, N] |DFT|² of the data symbols (same
     window/derotation as the decisions) — the soft-decision input
-    (models.soft)."""
+    (models.soft).
+
+    ``tx_phase_step`` is the TRANSMITTER's deterministic inter-symbol
+    phase delta on preamble upchirps, subtracted from the fine CFO
+    phase-slope term. ``None`` = this framework's own lattice modulator
+    (ops.planar._preamble_phase_step). Pass ``0.0`` for gr-lora_sdr
+    transmitters (measured: their preamble carries no per-symbol phase
+    step — the OTA capture decodes bit-exactly with 0 and one bin off
+    with ours)."""
     res = frame_sync(stream, params, preamble_len, min_power_db=min_power_db)
     if not res.found:
         return None, res
@@ -162,11 +171,13 @@ def frame_demodulate(stream, params: LoraParams, n_payload_symbols: int,
     from ..ops.planar import _preamble_phase_step, estimate_preamble_planar
 
     pre_dech = np.asarray(modem.dechirp(pre_sec, params))
+    if tx_phase_step is None:
+        tx_phase_step = _preamble_phase_step(params.sf, params.osr,
+                                             params.scale)
     cfo_resid = estimate_preamble_planar(
         jnp.asarray(np.ascontiguousarray(pre_dech.real)),
         jnp.asarray(np.ascontiguousarray(pre_dech.imag)),
-        params.n, params.osr,
-        phase_step=_preamble_phase_step(params.sf, params.osr, params.scale),
+        params.n, params.osr, phase_step=tx_phase_step,
     )
     dech = modem.dechirp(window, params)
     out = modem.demodulate(
