@@ -51,6 +51,8 @@ def main(argv=None) -> int:
         "thresh": (float, -30.0),
         "checkpoint": (str, ""),
         "quiet": (None, False),
+        "channels": (int, 0),
+        "any-sync": (None, False),
     })
     if flags["format"] not in _FORMATS:
         print(f"Unknown --format={flags['format']}", file=sys.stderr)
@@ -64,13 +66,16 @@ def main(argv=None) -> int:
     n_payload_symbols = flags["payload-len"] * 2      # simple Hamming84 chain
     frame_len = (stream.frame_overhead_samples(params)
                  + n_payload_symbols * params.step)
-    carry_len = frame_len + params.step
-    block = max(flags["block"], frame_len)            # a frame must fit
+    kch = flags["channels"]                           # 0 = single channel
+    rate = max(kch, 1)                                # wideband:channel ratio
+    carry_len = rate * (frame_len + params.step)
+    block = max(flags["block"], rate * frame_len)     # a frame must fit
+    block = -(-block // rate) * rate                  # multiple of K
 
     carry_re = np.zeros(carry_len, np.float32)
     carry_im = np.zeros(carry_len, np.float32)
     base = -carry_len                                  # abs index of carry[0]
-    reported: set[int] = set()
+    reported: set[tuple[int, int]] = set()             # (channel, abs start)
     n_frames = 0
 
     ckpt = pathlib.Path(flags["checkpoint"]) if flags["checkpoint"] else None
@@ -78,34 +83,64 @@ def main(argv=None) -> int:
         z = np.load(ckpt)
         carry_re, carry_im = z["re"], z["im"]
         base = int(z["base"])
-        reported = set(int(s) for s in z["reported"])
+        reported = set((int(c), int(s)) for c, s in z["reported"].reshape(-1, 2))
         n_frames = int(z["n_frames"])
 
     src = (sys.stdin.buffer if flags["in"] in ("", "-")
            else open(flags["in"], "rb"))
 
-    def process(buf_re, buf_im, buf_base):
+    def report(blk, chan, buf_base, k):
         nonlocal n_frames
-        blk = sync.receive_block_planar(
-            buf_re, buf_im, params, n_payload_symbols,
-            max_frames=flags["max-frames"],
-            min_power_db=flags["thresh"],
-        )
-        found = np.asarray(blk.found)
-        starts = np.asarray(blk.start)
-        for k in np.flatnonzero(found):
-            abs_start = buf_base + int(starts[k])
-            if abs_start in reported:
-                continue
-            reported.add(abs_start)
-            n_frames += 1
-            payload = np.asarray(
-                modem.decode(np.asarray(blk.symbols)[k])
-            ).tobytes()
-            print(f"frame @{abs_start} "
-                  f"sync=0x{int(np.asarray(blk.sync)[k]):02x} "
-                  f"cfo_bins={int(np.asarray(blk.cfo_bins)[k])} "
-                  f"payload={payload.hex()}", flush=True)
+        sync_word = int(np.asarray(blk.sync)[k])
+        if not flags["any-sync"] and sync_word != params.sync_word:
+            # the sync word is the network filter (the Pothos demod's
+            # ``sync`` property): rejects transition-band chirp leakage
+            # that picks up a bogus sync on quiet channels
+            return
+        # abs position in WIDEBAND samples (channel streams run at 1/K
+        # rate; the analysis bank aligns channel frame m to input m*K)
+        abs_start = buf_base + int(np.asarray(blk.start)[k]) * rate
+        # overlap re-detections and bin-jitter run splits can move the
+        # candidate a few samples: same-channel starts within half a
+        # frame are the same frame
+        near = frame_len * rate // 2
+        if any(c == chan and abs(s - abs_start) < near for c, s in reported):
+            return
+        reported.add((chan, abs_start))
+        n_frames += 1
+        payload = np.asarray(modem.decode(np.asarray(blk.symbols)[k])).tobytes()
+        ch = f"ch={chan} " if kch else ""
+        print(f"frame {ch}@{abs_start} "
+              f"sync=0x{int(np.asarray(blk.sync)[k]):02x} "
+              f"cfo_bins={int(np.asarray(blk.cfo_bins)[k])} "
+              f"payload={payload.hex()}", flush=True)
+
+    def process(buf_re, buf_im, buf_base):
+        if kch:
+            pad = (-buf_re.size) % rate
+            if pad:
+                buf_re = np.concatenate([buf_re, np.zeros(pad, np.float32)])
+                buf_im = np.concatenate([buf_im, np.zeros(pad, np.float32)])
+            blk = sync.receive_wideband_planar(
+                buf_re, buf_im, kch, params, n_payload_symbols,
+                max_frames=flags["max-frames"],
+                min_power_db=flags["thresh"],
+            )
+            found = np.asarray(blk.found)                  # [K, max]
+            for chan in range(kch):
+                for k in np.flatnonzero(found[chan]):
+                    report(blk._replace(
+                        start=blk.start[chan], symbols=blk.symbols[chan],
+                        sync=blk.sync[chan], cfo_bins=blk.cfo_bins[chan],
+                    ), chan, buf_base, k)
+        else:
+            blk = sync.receive_block_planar(
+                buf_re, buf_im, params, n_payload_symbols,
+                max_frames=flags["max-frames"],
+                min_power_db=flags["thresh"],
+            )
+            for k in np.flatnonzero(np.asarray(blk.found)):
+                report(blk, 0, buf_base, k)
 
     try:
         while True:
@@ -127,14 +162,15 @@ def main(argv=None) -> int:
             carry_im = buf_im[-keep:].copy()
             # keep the dedupe set bounded: starts behind the carry can
             # never be reported again
-            reported = {s for s in reported if s >= base - frame_len}
+            reported = {t for t in reported
+                        if t[1] >= base - frame_len * rate}
     finally:
         if src is not sys.stdin.buffer:
             src.close()
 
     if ckpt:
         np.savez(ckpt, re=carry_re, im=carry_im, base=np.int64(base),
-                 reported=np.asarray(sorted(reported), np.int64),
+                 reported=np.asarray(sorted(reported), np.int64).reshape(-1, 2),
                  n_frames=np.int64(n_frames))
     if not flags["quiet"]:
         print(f"{n_frames} frames", file=sys.stderr)

@@ -133,3 +133,41 @@ def test_tx_stream_to_rx_stream_roundtrip(tmp_path, capfd):
     bad = tmp_path / "bad.txt"
     bad.write_text("zzzz\n")
     assert tx_stream.main([f"--payloads={bad}", f"--out={tmp_path/'x.iq'}"]) == 1
+
+
+def test_rx_stream_wideband_channels(tmp_path, capfd):
+    """--channels=K: wideband stream with two occupied sub-channels is
+    channelized and both frames decode with channel indices and wideband
+    sample positions."""
+    from lora_phy_tpu.ops.channelizer import synthesize_channels_planar
+
+    p = LoraParams(sf=7)
+    k = 4
+    rng = np.random.RandomState(9)
+    pays = [rng.randint(0, 256, 16).astype(np.uint8) for _ in range(2)]
+    frames = [np.asarray(stream.frame_modulate(
+        np.asarray(modem.encode(pv), np.int32), p)) for pv in pays]
+    L = max(f.size for f in frames) + 3000
+    chans = np.zeros((k, L), np.complex64)
+    chans[1, 600:600 + frames[0].size] = frames[0]
+    chans[3, 1400:1400 + frames[1].size] = frames[1]
+    wr, wi = synthesize_channels_planar(
+        chans.real.astype(np.float32), chans.imag.astype(np.float32), k,
+        taps_per_branch=15)
+    wide = np.asarray(wr) + 1j * np.asarray(wi)
+    path = tmp_path / "wb.iq"
+    path.write_bytes(_interleave(wide))
+
+    rc = rx_stream.main([f"--in={path}", "--sf=7", "--payload-len=16",
+                         f"--channels={k}", "--block=65536"])
+    out, err = capfd.readouterr()
+    assert rc == 0 and "2 frames" in err
+    lines = [l for l in out.splitlines() if l.startswith("frame ")]
+    assert len(lines) == 2
+    by_ch = {int(l.split("ch=")[1].split()[0]): l for l in lines}
+    assert set(by_ch) == {1, 3}
+    assert f"payload={pays[0].tobytes().hex()}" in by_ch[1]
+    assert f"payload={pays[1].tobytes().hex()}" in by_ch[3]
+    # wideband positions ~ channel offset * K (filter group delay = 0)
+    assert abs(int(by_ch[1].split("@")[1].split()[0]) - 600 * k) <= k
+    assert abs(int(by_ch[3].split("@")[1].split()[0]) - 1400 * k) <= k
