@@ -141,14 +141,17 @@ def payload_block_plan(sf: int, cr: int, length: int, crc: bool,
 def decode_frame(samples, params: LoraParams, preamble_len: int = 8,
                  ldro: bool = False, implicit: bool = False,
                  length: int | None = None, cr: int | None = None,
-                 crc: bool | None = None):
+                 crc: bool | None = None, soft: bool = False):
     """Detect and decode one gr-lora_sdr frame from a continuous stream.
 
     ``ldro``/``implicit`` select the capture-naming cells
     (``ldro_{false,true}...implheader_{false,true}``, reference:
     vectors_binary/ naming). Implicit-header mode has no in-band header,
     so ``length``/``cr``/``crc`` must be supplied (the gr receiver is
-    configured the same way). Returns ``GrFrame`` or ``None``.
+    configured the same way). ``soft=True`` decodes header and payload
+    from the symbol spectra by ML codeword correlation (models.soft, with
+    gr's bin conventions) — ~1 dB extra link margin on real captures.
+    Returns ``GrFrame`` or ``None``.
     """
     sf = params.sf
     n = params.n
@@ -163,18 +166,30 @@ def decode_frame(samples, params: LoraParams, preamble_len: int = 8,
         return None
     # gr-lora_sdr preambles carry no per-symbol phase step (unlike our
     # lattice modulator's pi): tell the fine-CFO estimator so
-    out, _ = stream.frame_demodulate(samples, params, int(avail), preamble_len,
-                                     tx_phase_step=0.0)
+    dm = stream.frame_demodulate(samples, params, int(avail), preamble_len,
+                                 tx_phase_step=0.0, return_spectra=soft)
+    out = dm[0]
     if out is None:
         return None
     bins = np.asarray(out.symbols).astype(np.int64)
+    mag2 = np.asarray(dm[2]) if soft else None
 
     # --- first block: 8 symbols, reduced rate (PPM = sf-2), CR 4/8 -------
-    w0 = _rx_words_reduced(bins[:8], n)
-    cw0 = np.asarray(coding.diagonal_deinterleave(w0.astype(np.uint16), sf - 2, 4))
-    nib0, err0 = _fec_decode(cw0, 4)
-    nib0 = np.asarray(nib0)
-    fec_errors = int(np.asarray(err0).sum())
+    if soft:
+        from . import soft as softmod
+
+        llr0 = softmod.bin_llrs(mag2[:8], sf - 2, shift=2)
+        nib0, _ = softmod.ml_decode(
+            softmod.deinterleave_llrs(llr0, sf - 2, 4), 4)
+        nib0 = np.asarray(nib0)
+        fec_errors = 0
+    else:
+        w0 = _rx_words_reduced(bins[:8], n)
+        cw0 = np.asarray(
+            coding.diagonal_deinterleave(w0.astype(np.uint16), sf - 2, 4))
+        nib0, err0 = _fec_decode(cw0, 4)
+        nib0 = np.asarray(nib0)
+        fec_errors = int(np.asarray(err0).sum())
 
     header_ok = True
     if implicit:
@@ -202,7 +217,16 @@ def decode_frame(samples, params: LoraParams, preamble_len: int = 8,
     pay_bins = bins[8: 8 + nsym]
     if pay_bins.shape[-1] < nsym:
         return None
-    if nsym:
+    if nsym and soft:
+        from . import soft as softmod
+
+        llrp = softmod.bin_llrs(mag2[8: 8 + nsym], ppm_rest,
+                                shift=2 if ldro else 0,
+                                offset=0 if ldro else 1)
+        nibp, _ = softmod.ml_decode(
+            softmod.deinterleave_llrs(llrp, ppm_rest, cr), cr)
+        nibp = np.asarray(nibp)
+    elif nsym:
         w = (_rx_words_reduced(pay_bins, n) if ldro
              else _rx_words_full(pay_bins, n))
         cwp = np.asarray(

@@ -30,12 +30,14 @@ _NEG = jnp.float32(-3.4e38)
 
 
 @functools.lru_cache(maxsize=64)
-def _bit_masks(n: int, ppm: int, shift: int) -> np.ndarray:
+def _bit_masks(n: int, ppm: int, shift: int, offset: int = 0) -> np.ndarray:
     """[ppm, N] bool: bit ``j`` of the data word carried by bin ``b``.
 
-    Word = binary_to_gray(b >> shift) (RX mapping, models/coded.py:142);
-    ``shift=2`` for LDRO where the two LSB bins carry no data."""
-    b = np.arange(n, dtype=np.uint16) >> shift
+    Word = binary_to_gray(((b - offset) mod N) >> shift) — the RX mapping
+    (models/coded.py:142); ``shift=2`` for LDRO/reduced-rate blocks where
+    the two LSB bins carry no data, ``offset=1`` for gr-lora_sdr's
+    full-rate -1 bin convention (models/gr_interop.py:95-100)."""
+    b = ((np.arange(n, dtype=np.int32) - offset) % n).astype(np.uint16) >> shift
     w = np.asarray(coding.binary_to_gray(jnp.asarray(b))).astype(np.uint32)
     j = np.arange(ppm, dtype=np.uint32)[:, None]
     return ((w[None, :] >> j) & 1).astype(bool)
@@ -53,19 +55,36 @@ def _codebook(cr: int) -> np.ndarray:
     return 2.0 * bits - 1.0                               # [nbits, 16]
 
 
-def symbol_llrs(mag2, cfg: CodedConfig):
-    """[..., S, N] symbol spectra -> [..., S, ppm] max-log bit LLRs.
+def bin_llrs(mag2, ppm: int, shift: int, offset: int = 0):
+    """[..., S, N] symbol spectra -> [..., S, ppm] max-log bit LLRs for
+    an explicit bin->word mapping (see :func:`_bit_masks`).
 
     ``LLR_j = max_{bin: bit_j=1} |X| - max_{bin: bit_j=0} |X|`` — two
     masked max-reductions per bit over the spectrum magnitude (the
     matched-filter statistic)."""
     mag2 = jnp.asarray(mag2)
     n = mag2.shape[-1]
-    masks = jnp.asarray(_bit_masks(n, cfg.ppm, 2 if cfg.ldro else 0))
+    masks = jnp.asarray(_bit_masks(n, ppm, shift, offset))
     m = jnp.sqrt(mag2)[..., None, :]                      # [..., S, 1, N]
     one = jnp.max(jnp.where(masks, m, _NEG), axis=-1)     # [..., S, ppm]
     zero = jnp.max(jnp.where(~masks, m, _NEG), axis=-1)
     return (one - zero).astype(jnp.float32)
+
+
+def symbol_llrs(mag2, cfg: CodedConfig):
+    """[..., S, N] symbol spectra -> [..., S, ppm] max-log bit LLRs for
+    this framework's coded chain (models/coded.py bin mapping)."""
+    return bin_llrs(mag2, cfg.ppm, 2 if cfg.ldro else 0)
+
+
+def ml_decode(cw_llrs, cr: int):
+    """[..., ncw, nbits] codeword-bit LLRs -> ([..., ncw] nibbles,
+    [..., ncw] correlation margins) via the 16-entry ML codebook."""
+    cb = jnp.asarray(_codebook(cr))
+    scores = jnp.matmul(jnp.asarray(cw_llrs), cb)
+    nibbles = jnp.argmax(scores, axis=-1).astype(jnp.uint8)
+    top2 = jnp.sort(scores, axis=-1)[..., -2:]
+    return nibbles, (top2[..., 1] - top2[..., 0])
 
 
 def deinterleave_llrs(llrs, ppm: int, rdd: int):
@@ -91,12 +110,7 @@ def decode_payload_soft(mag2, nbytes: int, cfg: CodedConfig):
     quality observable; larger is more confident)."""
     llrs = symbol_llrs(mag2, cfg)
     cw_llrs = deinterleave_llrs(llrs, cfg.ppm, cfg.rdd)   # [..., ncw, nbits]
-    cb = jnp.asarray(_codebook(cfg.cr))                   # [nbits, 16]
-    scores = jnp.matmul(cw_llrs, cb)                      # [..., ncw, 16]
-    nibbles = jnp.argmax(scores, axis=-1).astype(jnp.uint8)
-
-    top2 = jnp.sort(scores, axis=-1)[..., -2:]
-    margin = top2[..., 1] - top2[..., 0]                  # per-codeword
+    nibbles, margin = ml_decode(cw_llrs, cfg.cr)
     total = nbytes + (2 if cfg.crc else 0)
     nibbles = nibbles[..., : total * 2]
     framed = coding.nibbles_to_bytes(nibbles)

@@ -108,3 +108,42 @@ def test_adaptive_soft_stream_roundtrip():
     assert [f[1] for f in got] == payloads
     for _, _, info in got:
         assert info["crc_ok"] and info["soft_margin"] > 0.0
+
+
+def test_gr_soft_decode_real_capture():
+    """soft=True decodes the real gr-lora_sdr OTA capture bit-exactly
+    (CRC verified) using gr's bin conventions for the LLR masks."""
+    import pathlib
+
+    from lora_phy_tpu.models import gr_interop
+    from lora_phy_tpu.utils.iqio import read_iq
+
+    path = pathlib.Path(
+        "/root/reference/vectors_binary/"
+        "bw_125k_sf_7_cr_1_ldro_false_crc_true_implheader_false.unknown")
+    if not path.exists():
+        pytest.skip("capture missing")
+    cap = read_iq(path)
+    frame = gr_interop.decode_frame(cap, LoraParams(sf=7, osr=2), soft=True)
+    assert frame is not None and frame.header_ok
+    assert frame.payload == b"hello world: 0"
+    assert frame.crc_ok
+
+
+@pytest.mark.parametrize("ldro,implicit", [(False, False), (True, True)])
+def test_gr_soft_loopback_cells(ldro, implicit):
+    """gr soft decoding round-trips own gr-encoded frames across the
+    ldro/implheader cells and under noise."""
+    from lora_phy_tpu.models import gr_interop
+
+    p = LoraParams(sf=8)
+    payload = bytes(range(40, 58))
+    iq = np.asarray(gr_interop.encode_frame(
+        payload, p, cr=2, ldro=ldro, implicit=implicit))
+    sig = np.concatenate([np.zeros(700, np.complex64), iq,
+                          np.zeros(700, np.complex64)])
+    noisy = np.asarray(apply_awgn(jax.random.PRNGKey(1), sig, 6.0))
+    kw = dict(length=len(payload), cr=2, crc=True) if implicit else {}
+    frame = gr_interop.decode_frame(noisy, p, ldro=ldro, implicit=implicit,
+                                    soft=True, **kw)
+    assert frame is not None and frame.payload == payload and frame.crc_ok
