@@ -26,6 +26,7 @@ def main(argv=None) -> int:
         "osr": (int, 1),
         "preamble": (int, 8),
         "max-frames": (int, 64),
+        "soft": (None, False),
     })
     samples = read_iq(flags["in"] or "-")
     params = LoraParams(sf=flags["sf"], osr=flags["osr"])
@@ -36,7 +37,8 @@ def main(argv=None) -> int:
     overhead = (flags["preamble"] + 4) * step + step // 4
     while found < flags["max-frames"] and samples.size - offset > 16 * step:
         frame = gr_interop.decode_frame(samples[offset:], params,
-                                        preamble_len=flags["preamble"])
+                                        preamble_len=flags["preamble"],
+                                        soft=flags["soft"])
         if frame is None:
             break
         if not frame.header_ok:
