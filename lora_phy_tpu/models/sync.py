@@ -86,17 +86,24 @@ def frame_sync_scan_planar(xr, xi, params: LoraParams,
     dr, di = base_downchirp_planar(params.sf, params.scale, params.osr)
     dr, di = jnp.asarray(dr), jnp.asarray(di)
 
-    # up-dechirp (x * down) and down-dechirp (x * conj(down)), decimated
-    def bins_of(pr, pi, with_peak=False):
-        v_r = pr.reshape(*lead, nwin, n, osr)[..., 0]
-        v_i = pi.reshape(*lead, nwin, n, osr)[..., 0]
-        return argmax_bins_planar(v_r, v_i, n, with_peak=with_peak)
-
+    # up-dechirp (x * down) and down-dechirp (x * conj(down)), decimated;
+    # both branches ride ONE stacked DFT+argmax call (measured 18.1 ->
+    # 14.8 ms on the bench scan workload vs two calls)
     want_peak = min_power_db is not None
-    ub = bins_of(ar * dr - ai * di, ar * di + ai * dr, with_peak=want_peak)
+
+    def windows(pr, pi):
+        return (pr.reshape(*lead, nwin, n, osr)[..., 0],
+                pi.reshape(*lead, nwin, n, osr)[..., 0])
+
+    ur, ui = windows(ar * dr - ai * di, ar * di + ai * dr)
+    vr, vi = windows(ar * dr + ai * di, ai * dr - ar * di)
+    out = argmax_bins_planar(
+        jnp.stack([ur, vr]), jnp.stack([ui, vi]), n, with_peak=want_peak
+    )
     if want_peak:
-        ub, up_peak = ub
-    db = bins_of(ar * dr + ai * di, ai * dr - ar * di)
+        (ub, db), up_peak = (out[0][0], out[0][1]), out[1][0]
+    else:
+        ub, db = out[0], out[1]
 
     # --- preamble run lengths (vectorized run-detect) ---------------------
     w_idx = jnp.arange(nwin, dtype=jnp.int32)
@@ -123,33 +130,38 @@ def frame_sync_scan_planar(xr, xi, params: LoraParams,
         pad = jnp.zeros(lead + (o,), a.dtype)
         return jnp.concatenate([a[..., o:], pad], axis=-1)
 
-    # five static shifts (the host scan's range(end+1, end+6)) instead of a
-    # dynamic gather — O(5W) and fully fused
-    hit = jnp.stack(
-        [shift_left(db_eq, o) & (w_idx + o < nwin - 1) for o in range(1, 6)],
-        axis=-1,
-    )                                                 # [..., W, 5]
-    db_at = jnp.stack(
-        [shift_left(db, o) for o in range(1, 6)], axis=-1
-    )
-    has_dwin = jnp.any(hit, axis=-1)
-    first = jnp.argmax(hit, axis=-1)                  # first matching offset
-    bin_dn_raw = jnp.take_along_axis(db_at, first[..., None], axis=-1)[..., 0]
+    # five static shifts (the host scan's range(end+1, end+6)) instead of
+    # a dynamic gather; first-match selection is a where-chain (element
+    # gathers via take_along_axis are pathologically slow on this chip —
+    # CLAUDE.md / modem._shifted_rows)
+    has_dwin = jnp.zeros(lead + (nwin,), bool)
+    bin_dn_raw = jnp.zeros_like(db)
+    for o in range(5, 0, -1):                         # later offsets lose
+        h = shift_left(db_eq, o) & (w_idx + o < nwin - 1)
+        bin_dn_raw = jnp.where(h, shift_left(db, o), bin_dn_raw)
+        has_dwin = has_dwin | h
 
     bin_up = _signed_bin(ub, n)
     bin_dn = _signed_bin(bin_dn_raw, n)
     # bin n/2 is sign-ambiguous (+n/2 == -n/2 mod n); the two-sided split
     # then aliases tau=+/-step/2 against cfo=-/+n/2. Resolve with the
     # physical prior of minimal |cfo| (real CFO << bw/2) by flipping the
-    # ambiguous bin(s) when that reduces |bin_up + bin_dn|.
+    # ambiguous bin(s) when that reduces |bin_up + bin_dn|. Tie order of
+    # the old 4-candidate argmin: (u,d), (u,d'), (u',d), (u',d') —
+    # first minimum wins; the nested where-chain preserves it.
     half = n // 2
     bu_alt = jnp.where(ub == half, bin_up - n, bin_up)
     bd_alt = jnp.where(bin_dn_raw == half, bin_dn - n, bin_dn)
-    cands_u = jnp.stack([bin_up, bin_up, bu_alt, bu_alt], axis=-1)
-    cands_d = jnp.stack([bin_dn, bd_alt, bin_dn, bd_alt], axis=-1)
-    best = jnp.argmin(jnp.abs(cands_u + cands_d), axis=-1)[..., None]
-    bin_up = jnp.take_along_axis(cands_u, best, axis=-1)[..., 0]
-    bin_dn = jnp.take_along_axis(cands_d, best, axis=-1)[..., 0]
+    s0 = jnp.abs(bin_up + bin_dn)
+    s1 = jnp.abs(bin_up + bd_alt)
+    s2 = jnp.abs(bu_alt + bin_dn)
+    s3 = jnp.abs(bu_alt + bd_alt)
+    m = jnp.minimum(jnp.minimum(s0, s1), jnp.minimum(s2, s3))
+    pick1 = (s1 == m) & (s0 != m)
+    pick2 = (s2 == m) & (s0 != m) & (s1 != m)
+    pick3 = (s3 == m) & (s0 != m) & (s1 != m) & (s2 != m)
+    bin_up = jnp.where(pick2 | pick3, bu_alt, bin_up)
+    bin_dn = jnp.where(pick1 | pick3, bd_alt, bin_dn)
 
     tau = _round_half_even((bin_dn - bin_up) / 2.0) * osr
     cfo_bins = _round_half_even((bin_dn + bin_up) / 2.0)
