@@ -189,6 +189,7 @@ class BlockFrames(NamedTuple):
     sync: jnp.ndarray       # [..., K] uint8 recovered sync word
     cfo: jnp.ndarray        # [..., K] float32 residual (fractional) CFO
     time_offset: jnp.ndarray  # [..., K] float32
+    snr_db: jnp.ndarray     # [..., K] float32 mean payload peak/noise (dB)
 
 
 def _kth_valid(valid, k_max: int):
@@ -284,18 +285,30 @@ def receive_block_planar(xr, xi, params: LoraParams,
     yr, yi = dechirp_planar(dr, di, params)
     # residual fractional CFO anchored on the preamble section — unbiased
     # for any sync word (ops.planar.estimate_preamble_planar)
-    from ..ops.planar import _preamble_phase_step, estimate_preamble_planar
+    from ..ops.planar import (_preamble_phase_step,
+                              demodulate_spectrum_planar,
+                              estimate_preamble_planar)
 
     cfo_resid = estimate_preamble_planar(
         yr[..., :pre_len], yi[..., :pre_len], n, osr,
         phase_step=_preamble_phase_step(params.sf, params.osr, params.scale),
     )
-    res = demodulate_planar(
+    # the spectrum variant of the same demod pipeline: decisions are the
+    # argmax of mag2 (identical to demodulate_planar), and the spectra
+    # yield the per-frame SNR observable (peak vs residual power, the
+    # detector's dB convention, LoRaDetector.hpp:60-64)
+    mag2, sync_word, cfo, time_offset = demodulate_spectrum_planar(
         yr[..., pre_len:], yi[..., pre_len:], params,
         known_offsets=(cfo_resid, jnp.zeros_like(cfo_resid)),
     )
-    return BlockFrames(found, start, cfo_bins, res.symbols, res.sync_word,
-                       res.cfo, res.time_offset)
+    syms = jnp.argmax(mag2, axis=-1).astype(jnp.uint16)
+    peak = jnp.max(mag2, axis=-1)                          # [..., K, S]
+    noise = (jnp.sum(mag2, axis=-1) - peak) / jnp.float32(n - 1)
+    snr_db = 10.0 * jnp.log10(
+        jnp.mean(peak, axis=-1) / jnp.maximum(jnp.mean(noise, axis=-1), 1e-30)
+    )
+    return BlockFrames(found, start, cfo_bins, syms, sync_word,
+                       cfo, time_offset, snr_db.astype(jnp.float32))
 
 
 @partial(jax.jit, static_argnames=("k", "params", "n_payload_symbols",

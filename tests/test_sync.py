@@ -247,3 +247,33 @@ def test_batch_stream_demodulator_overflow_frames_carry():
     decs = [np.asarray(modem.decode(o[1])) for o in out1 + out2]
     for d, pl in zip(decs, payloads):
         np.testing.assert_array_equal(d, pl)
+
+
+def test_block_frames_snr_observable():
+    """receive_block_planar reports a sane per-frame SNR: high on a clean
+    frame, ~the injected channel SNR under noise."""
+    import jax
+
+    from lora_phy_tpu.models import modem, stream
+    from lora_phy_tpu.ops.impair import apply_awgn
+
+    p = LoraParams(sf=7)
+    syms = np.asarray(modem.encode(np.arange(16, dtype=np.uint8)), np.int32)
+    fr = np.asarray(stream.frame_modulate(syms, p))
+    sig = np.concatenate([np.zeros(400, np.complex64), fr,
+                          np.zeros(400, np.complex64)])
+
+    def snr_of(x):
+        blk = sync.receive_block_planar(
+            np.ascontiguousarray(x.real.astype(np.float32)),
+            np.ascontiguousarray(x.imag.astype(np.float32)),
+            p, syms.shape[-1], max_frames=1)
+        assert bool(np.asarray(blk.found)[0])
+        return float(np.asarray(blk.snr_db)[0])
+
+    clean = snr_of(sig)
+    assert clean > 40.0
+    noisy = snr_of(np.asarray(apply_awgn(jax.random.PRNGKey(0), sig, 5.0)))
+    # detector SNR ~ channel SNR + processing margin; must sit well below
+    # the clean reading and above the no-signal floor
+    assert 5.0 < noisy < clean - 10.0
