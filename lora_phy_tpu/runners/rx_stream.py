@@ -113,6 +113,7 @@ def main(argv=None) -> int:
         print(f"frame {ch}@{abs_start} "
               f"sync=0x{int(np.asarray(blk.sync)[k]):02x} "
               f"cfo_bins={int(np.asarray(blk.cfo_bins)[k])} "
+              f"snr={float(np.asarray(blk.snr_db)[k]):.1f}dB "
               f"payload={payload.hex()}", flush=True)
 
     def process(buf_re, buf_im, buf_base):
@@ -132,6 +133,7 @@ def main(argv=None) -> int:
                     report(blk._replace(
                         start=blk.start[chan], symbols=blk.symbols[chan],
                         sync=blk.sync[chan], cfo_bins=blk.cfo_bins[chan],
+                        snr_db=blk.snr_db[chan],
                     ), chan, buf_base, k)
         else:
             blk = sync.receive_block_planar(
