@@ -254,6 +254,22 @@ def _shifted_symbol_gather(x, total_symbols: int, n: int, osr: int, t_off):
     return jax.lax.cond(jnp.all(t_off == 0), no_shift, with_shift, x)
 
 
+def _factored_rotation(rate, t_off, total_symbols: int, n: int, osr: int):
+    """Derotation factors ``exp(j*(rate*(s*N + t_off/osr) + rate*i))`` as
+    the product of a per-symbol scalar and a per-sample vector (angle-sum
+    identity): S+N transcendental evaluations instead of S*N, and the big
+    [..., S, N] pass is multiply/add only. Mirrors the planar twin
+    (ops.planar._rotated_windows_planar) for cross-path equality."""
+    s_idx = jnp.arange(total_symbols, dtype=jnp.float32) * jnp.float32(n)
+    start = rate[..., None] * (
+        s_idx + t_off.astype(jnp.float32)[..., None] / jnp.float32(osr)
+    )                                                              # [..., S]
+    sym_rot = jax.lax.complex(jnp.cos(start), jnp.sin(start))
+    phi = rate[..., None] * jnp.arange(n, dtype=jnp.float32)       # [..., N]
+    samp_rot = jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
+    return sym_rot[..., None] * samp_rot[..., None, :]
+
+
 def _sync_from_symbols(idx0, idx1, sf: int):
     """Recover the two-nibble sync byte (src/phy/LoRaDemod.cpp:177-192)."""
     shift = (sf - 4) if sf > 4 else 0
@@ -313,12 +329,7 @@ def demodulate(samples, params: LoraParams, backend: str = "xla",
 
     sym = _shifted_symbol_gather(x, total_symbols, n, osr, t_off)  # [..., S, N]
 
-    s_idx = jnp.arange(total_symbols, dtype=jnp.float32) * jnp.float32(n)
-    start = rate[..., None] * (
-        s_idx + t_off.astype(jnp.float32)[..., None] / jnp.float32(osr)
-    )                                                              # [..., S]
-    ph = start[..., None] + rate[..., None, None] * jnp.arange(n, dtype=jnp.float32)
-    rot = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+    rot = _factored_rotation(rate, t_off, total_symbols, n, osr)
     fft_in = sym * rot
     if window is not None:
         fft_in = fft_in * jnp.asarray(window)
@@ -408,12 +419,7 @@ def demodulate_integrated(
     sym = _shifted_symbol_gather(x, total_symbols, n, osr, t_off)  # [..., S, N]
     sym = sym * down                                                # dechirp (phy.cpp:221)
 
-    s_idx = jnp.arange(total_symbols, dtype=jnp.float32) * jnp.float32(n)
-    start = rate[..., None] * (
-        s_idx + t_off.astype(jnp.float32)[..., None] / jnp.float32(osr)
-    )
-    ph = start[..., None] + rate[..., None, None] * jnp.arange(n, dtype=jnp.float32)
-    fft_in = sym * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+    fft_in = sym * _factored_rotation(rate, t_off, total_symbols, n, osr)
     if window is not None:
         fft_in = fft_in * jnp.asarray(window)
 

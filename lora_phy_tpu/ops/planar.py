@@ -352,22 +352,30 @@ def _demod_stage_planar(xr, xi, params: LoraParams, assume_normalized,
 
 def _rotated_windows_planar(yr, yi, rate, t_off, scale, params: LoraParams):
     """Derotation (scale folded into the rotation factors) + window:
-    the pre-DFT [..., S, N] planes."""
+    the pre-DFT [..., S, N] planes.
+
+    The rotation phase ``rate*(s*N + t_off/osr) + rate*i`` separates into
+    a per-symbol scalar and a per-sample vector, so the S*N cos/sin
+    evaluations collapse to S+N via the angle-sum identity — the big
+    elementwise pass keeps only multiplies/adds (transcendentals are the
+    VPU's slowest ops)."""
     n, osr = params.n, params.osr
     total_symbols = yr.shape[-2]
     window = _window_table(params)
     s_idx = jnp.arange(total_symbols, dtype=jnp.float32) * jnp.float32(n)
     start = rate[..., None] * (
         s_idx + t_off.astype(jnp.float32)[..., None] / jnp.float32(osr)
-    )
-    ph = start[..., None] + rate[..., None, None] * jnp.arange(
-        n, dtype=jnp.float32
-    )
-    cr, si_ = jnp.cos(ph), jnp.sin(ph)
+    )                                                      # [..., S]
+    cs, ss = jnp.cos(start), jnp.sin(start)
     if scale is not None:
         # normalisation rides the (fused, elementwise) rotation factors
-        cr = cr * scale[..., None, None]
-        si_ = si_ * scale[..., None, None]
+        cs = cs * scale[..., None]
+        ss = ss * scale[..., None]
+    phi = rate[..., None] * jnp.arange(n, dtype=jnp.float32)   # [..., N]
+    ci_, si_n = jnp.cos(phi), jnp.sin(phi)
+    # rot[s, i] = (cs+j*ss)[s] * (ci+j*si)[i]
+    cr = cs[..., None] * ci_[..., None, :] - ss[..., None] * si_n[..., None, :]
+    si_ = cs[..., None] * si_n[..., None, :] + ss[..., None] * ci_[..., None, :]
     fr = yr * cr - yi * si_
     fi = yr * si_ + yi * cr
     if window is not None:
