@@ -254,20 +254,21 @@ def _shifted_symbol_gather(x, total_symbols: int, n: int, osr: int, t_off):
     return jax.lax.cond(jnp.all(t_off == 0), no_shift, with_shift, x)
 
 
-def _factored_rotation(rate, t_off, total_symbols: int, n: int, osr: int):
-    """Derotation factors ``exp(j*(rate*(s*N + t_off/osr) + rate*i))`` as
-    the product of a per-symbol scalar and a per-sample vector (angle-sum
-    identity): S+N transcendental evaluations instead of S*N, and the big
-    [..., S, N] pass is multiply/add only. Mirrors the planar twin
-    (ops.planar._rotated_windows_planar) for cross-path equality."""
-    s_idx = jnp.arange(total_symbols, dtype=jnp.float32) * jnp.float32(n)
-    start = rate[..., None] * (
-        s_idx + t_off.astype(jnp.float32)[..., None] / jnp.float32(osr)
-    )                                                              # [..., S]
-    sym_rot = jax.lax.complex(jnp.cos(start), jnp.sin(start))
+def _derotation_vector(rate, n: int):
+    """Per-sample CFO derotation factor ``exp(j*rate*i)`` as a [..., N]
+    vector, broadcast over the symbol axis by the caller.
+
+    The reference's full phase is ``rate*(s*N + t_off/osr) + rate*i``
+    (src/phy/LoRaDemod.cpp:151-152).  The ``s*N`` and ``t_off/osr`` terms
+    are constant within a symbol, so they contribute only a unimodular
+    per-symbol phase to the FFT output — |X|^2, argmax, fIndex and the
+    power metrics are all invariant to them (the detector consumes only
+    magnitudes).  Dropping them cuts the rotation operand from [..., S, N]
+    to [..., N] and the transcendental count from S*N to N; symbol/byte
+    parity is gated by the golden matrix.  Mirrors the planar twin
+    (ops.planar._rotated_windows_planar)."""
     phi = rate[..., None] * jnp.arange(n, dtype=jnp.float32)       # [..., N]
-    samp_rot = jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
-    return sym_rot[..., None] * samp_rot[..., None, :]
+    return jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
 
 
 def _sync_from_symbols(idx0, idx1, sf: int):
@@ -329,10 +330,10 @@ def demodulate(samples, params: LoraParams, backend: str = "xla",
 
     sym = _shifted_symbol_gather(x, total_symbols, n, osr, t_off)  # [..., S, N]
 
-    rot = _factored_rotation(rate, t_off, total_symbols, n, osr)
-    fft_in = sym * rot
+    rot = _derotation_vector(rate, n)
     if window is not None:
-        fft_in = fft_in * jnp.asarray(window)
+        rot = rot * jnp.asarray(window)       # fold window into the [N] vector
+    fft_in = sym * rot[..., None, :]
 
     det = detect(fft_in, backend=backend)
     syms = det.index.astype(jnp.uint16)                            # [..., S]
@@ -419,9 +420,10 @@ def demodulate_integrated(
     sym = _shifted_symbol_gather(x, total_symbols, n, osr, t_off)  # [..., S, N]
     sym = sym * down                                                # dechirp (phy.cpp:221)
 
-    fft_in = sym * _factored_rotation(rate, t_off, total_symbols, n, osr)
+    rot = _derotation_vector(rate, n)
     if window is not None:
-        fft_in = fft_in * jnp.asarray(window)
+        rot = rot * jnp.asarray(window)       # fold window into the [N] vector
+    fft_in = sym * rot[..., None, :]
 
     det = detect(fft_in, backend=backend)
     syms = det.index.astype(jnp.uint16)

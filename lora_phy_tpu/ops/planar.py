@@ -351,36 +351,35 @@ def _demod_stage_planar(xr, xi, params: LoraParams, assume_normalized,
 
 
 def _rotated_windows_planar(yr, yi, rate, t_off, scale, params: LoraParams):
-    """Derotation (scale folded into the rotation factors) + window:
+    """Derotation (scale + window folded into the rotation factors):
     the pre-DFT [..., S, N] planes.
 
-    The rotation phase ``rate*(s*N + t_off/osr) + rate*i`` separates into
-    a per-symbol scalar and a per-sample vector, so the S*N cos/sin
-    evaluations collapse to S+N via the angle-sum identity — the big
-    elementwise pass keeps only multiplies/adds (transcendentals are the
-    VPU's slowest ops)."""
-    n, osr = params.n, params.osr
-    total_symbols = yr.shape[-2]
+    The reference's rotation phase is ``rate*(s*N + t_off/osr) + rate*i``
+    (src/phy/LoRaDemod.cpp:151-152); the ``s*N + t_off/osr`` part is
+    constant within a symbol, so it contributes only a unimodular
+    per-symbol phase to the DFT output and every magnitude-derived
+    detector output (argmax, power, fIndex) is invariant to it.  Only the
+    per-sample ``exp(j*rate*i)`` factor — an actual frequency shift —
+    survives, so the rotation operand is a [..., N] vector (N cos/sin
+    instead of S*N) carrying the normalisation scale and the window, and
+    the big [..., S, N] pass is a 4-multiply/2-add broadcast.  ``t_off``
+    is accepted for signature stability but no longer enters the phase."""
+    del t_off  # phase contribution is per-symbol-constant: magnitude-invariant
+    n = params.n
     window = _window_table(params)
-    s_idx = jnp.arange(total_symbols, dtype=jnp.float32) * jnp.float32(n)
-    start = rate[..., None] * (
-        s_idx + t_off.astype(jnp.float32)[..., None] / jnp.float32(osr)
-    )                                                      # [..., S]
-    cs, ss = jnp.cos(start), jnp.sin(start)
+    phi = rate[..., None] * jnp.arange(n, dtype=jnp.float32)   # [..., N]
+    cr, si_ = jnp.cos(phi), jnp.sin(phi)
     if scale is not None:
         # normalisation rides the (fused, elementwise) rotation factors
-        cs = cs * scale[..., None]
-        ss = ss * scale[..., None]
-    phi = rate[..., None] * jnp.arange(n, dtype=jnp.float32)   # [..., N]
-    ci_, si_n = jnp.cos(phi), jnp.sin(phi)
-    # rot[s, i] = (cs+j*ss)[s] * (ci+j*si)[i]
-    cr = cs[..., None] * ci_[..., None, :] - ss[..., None] * si_n[..., None, :]
-    si_ = cs[..., None] * si_n[..., None, :] + ss[..., None] * ci_[..., None, :]
-    fr = yr * cr - yi * si_
-    fi = yr * si_ + yi * cr
+        cr = cr * scale[..., None]
+        si_ = si_ * scale[..., None]
     if window is not None:
         w = jnp.asarray(window)
-        fr, fi = fr * w, fi * w
+        cr, si_ = cr * w, si_ * w
+    cr = cr[..., None, :]
+    si_ = si_[..., None, :]
+    fr = yr * cr - yi * si_
+    fi = yr * si_ + yi * cr
     return fr, fi
 
 
