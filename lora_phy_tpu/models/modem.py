@@ -203,9 +203,21 @@ def _shifted_rows(x, t_off, step: int):
     """Whole-row timing shift: ``y[..., j] = x[..., j + t_off]`` with zero
     fill, as a padded per-row ``dynamic_slice``.
 
-    TPU note: an element-wise ``take_along_axis`` gather here lowers to a
-    scalar gather and runs ~35x slower than a contiguous dynamic slice
-    (measured on v5e: 1.96 s vs 55 ms for 8192x8448 f32).
+    TPU notes (all measured on the v5e for [8x8192, 8448] f32):
+
+    * an element-wise ``take_along_axis`` gather lowers to a scalar gather
+      and runs ~2 s; the vmapped per-row ``dynamic_slice`` lowers to a row
+      gather costing ~4 us per row (274 ms) — 35x faster;
+    * a log2(2*step) barrel shifter (static slice + ``where`` per bit of
+      ``t_off``) runs 91 ms, row-count independent — 3x faster again when
+      the shift actually executes.  It is NOT used here because callers
+      wrap this in the zero-offset ``lax.cond`` fast path and this
+      backend reserves HBM for a cond branch's temporaries whether or not
+      the branch runs: the barrel's 9 full-size where-stage buffers cost
+      ~4% end-to-end demod throughput as dead code (and OOM the bench
+      batch when both planes are stacked), while the dynamic-slice
+      branch's single padded temp fits.  Revisit if a caller appears that
+      shifts unconditionally at large row counts.
     """
     count = x.shape[-1]
     pad_width = [(0, 0)] * (x.ndim - 1) + [(step, step)]

@@ -60,24 +60,29 @@ def dft_planar(xr, xi, n: int, mxu_dtype=None):
         yr = _mmd(xr, wr) - _mmd(xi, wi)
         yi = _mmd(xr, wi) + _mmd(xi, wr)
         return yr, yi
+    # Four-step with both contractions side-chosen so the data NEVER
+    # transposes between stages (transposes of the trailing [64, 64]
+    # blocks are full HBM passes on TPU; the naive form needs three):
+    #   x[i2, i1]  --W2 on the left-->  a[k2, i1]  --twiddle-->
+    #   b[k2, i1]  --W1^T on the right--> c[k2, k1]
+    # Only the final [k2, k1] -> [k1, k2] reorder remains (bin index
+    # k = k1*n2 + k2).
     w1, w2, tw, n1, n2 = _dft_mats(n)
     w1r = jnp.asarray(w1.real.copy())
     w1i = jnp.asarray(w1.imag.copy())
     w2r = jnp.asarray(w2.real.copy())
     w2i = jnp.asarray(w2.imag.copy())
-    twr = jnp.asarray(tw.real.copy())
-    twi = jnp.asarray(tw.imag.copy())
+    twr = jnp.asarray(np.ascontiguousarray(tw.T.real))  # [k2, i1]
+    twi = jnp.asarray(np.ascontiguousarray(tw.T.imag))
     lead = xr.shape[:-1]
-    xr_m = xr.reshape(*lead, n2, n1).swapaxes(-1, -2)   # [.., n1, n2]
-    xi_m = xi.reshape(*lead, n2, n1).swapaxes(-1, -2)
-    ar = _mmd(xr_m, w2r.T) - _mmd(xi_m, w2i.T)          # inner DFT (n2)
-    ai = _mmd(xr_m, w2i.T) + _mmd(xi_m, w2r.T)
+    xr_m = xr.reshape(*lead, n2, n1)                    # [.., i2, i1]
+    xi_m = xi.reshape(*lead, n2, n1)
+    ar = _mmd(w2r, xr_m) - _mmd(w2i, xi_m)              # inner DFT: [.., k2, i1]
+    ai = _mmd(w2r, xi_m) + _mmd(w2i, xr_m)
     br = ar * twr - ai * twi                            # twiddle
     bi = ar * twi + ai * twr
-    br_t = br.swapaxes(-1, -2)                          # [.., n2(k2), n1(i1)]
-    bi_t = bi.swapaxes(-1, -2)
-    cr = _mmd(br_t, w1r.T) - _mmd(bi_t, w1i.T)          # outer DFT (n1)
-    ci = _mmd(br_t, w1i.T) + _mmd(bi_t, w1r.T)
+    cr = _mmd(br, w1r.T) - _mmd(bi, w1i.T)              # outer DFT: [.., k2, k1]
+    ci = _mmd(br, w1i.T) + _mmd(bi, w1r.T)
     return (cr.swapaxes(-1, -2).reshape(*lead, n),
             ci.swapaxes(-1, -2).reshape(*lead, n))
 
@@ -342,7 +347,11 @@ def _demod_stage_planar(xr, xi, params: LoraParams, assume_normalized,
     rate = (-jnp.float32(_TWO_PI) * cfo / jnp.float32(n)).astype(jnp.float32)
 
     # shifted symbol windows (src/phy/LoRaDemod.cpp:141-149 semantics),
-    # dynamic-slice based — see modem._shifted_rows for the TPU rationale
+    # dynamic-slice based — see modem._shifted_rows for the TPU rationale.
+    # Two separate calls on purpose: each cond's branch buffers are
+    # reserved in HBM whether or not the branch runs on this backend, and
+    # sequential conds reuse the reservation while a stacked [2, ...] call
+    # doubles it (measured: stacking OOMed the 554M-sample bench batch).
     from ..models.modem import _shifted_symbol_gather
 
     yr = _shifted_symbol_gather(xr, total_symbols, n, osr, t_off)
