@@ -88,9 +88,9 @@ def frame_sync_scan_planar(xr, xi, params: LoraParams,
 
     # up-dechirp (x * down) and down-dechirp (x * conj(down)), decimated;
     # both branches ride ONE stacked DFT+argmax call (measured 18.1 ->
-    # 14.8 ms on the bench scan workload vs two calls)
-    want_peak = min_power_db is not None
-
+    # 14.8 ms on the bench scan workload vs two calls). Peaks are always
+    # computed: the downchirp-section detector needs the down-vs-up
+    # dominance discriminant below.
     def windows(pr, pi):
         return (pr.reshape(*lead, nwin, n, osr)[..., 0],
                 pi.reshape(*lead, nwin, n, osr)[..., 0])
@@ -98,12 +98,10 @@ def frame_sync_scan_planar(xr, xi, params: LoraParams,
     ur, ui = windows(ar * dr - ai * di, ar * di + ai * dr)
     vr, vi = windows(ar * dr + ai * di, ai * dr - ar * di)
     out = argmax_bins_planar(
-        jnp.stack([ur, vr]), jnp.stack([ui, vi]), n, with_peak=want_peak
+        jnp.stack([ur, vr]), jnp.stack([ui, vi]), n, with_peak=True
     )
-    if want_peak:
-        (ub, db), up_peak = (out[0][0], out[0][1]), out[1][0]
-    else:
-        ub, db = out[0], out[1]
+    (ub, db), (up_peak, dn_peak) = (out[0][0], out[0][1]), (out[1][0],
+                                                           out[1][1])
 
     # --- preamble run lengths (vectorized run-detect) ---------------------
     w_idx = jnp.arange(nwin, dtype=jnp.int32)
@@ -121,9 +119,17 @@ def frame_sync_scan_planar(xr, xi, params: LoraParams,
     )
     is_end = (run >= need) & ~eq_next                 # maximal-run ends
 
-    # --- downchirp section: first c in [end+1, end+5] with db[c]==db[c+1] -
+    # --- downchirp section: first c in [end+1, end+5] with db[c]==db[c+1]
+    # AND down-dechirp dominance. A real SFD window concentrates its
+    # energy in the down-dechirped spectrum; up-preamble or silence
+    # windows do not, and their broad down spectra are argmax-tie-prone
+    # (equal-neighbor false pairs shift with harmless rounding changes).
+    # Requiring dn_peak > up_peak at the pair head kills those candidates
+    # (silence: 0 > 0 is False) without touching genuine frames. --------
+    dn_dom = dn_peak > up_peak
     db_eq = jnp.concatenate(
-        [db[..., 1:] == db[..., :-1], jnp.zeros(lead + (1,), bool)], axis=-1
+        [(db[..., 1:] == db[..., :-1]) & dn_dom[..., :-1],
+         jnp.zeros(lead + (1,), bool)], axis=-1
     )                                                 # db_eq[c] = db[c]==db[c+1]
 
     def shift_left(a, o):
@@ -167,7 +173,7 @@ def frame_sync_scan_planar(xr, xi, params: LoraParams,
     cfo_bins = _round_half_even((bin_dn + bin_up) / 2.0)
     start = (w_idx - preamble_len + 1) * step + tau
     valid = is_end & has_dwin & (start >= 0)
-    if want_peak:
+    if min_power_db is not None:
         power_db = (10.0 * jnp.log10(jnp.maximum(up_peak, 1e-30))
                     - 20.0 * math.log10(n))
         valid = valid & (power_db >= jnp.float32(min_power_db))

@@ -87,6 +87,69 @@ def dft_planar(xr, xi, n: int, mxu_dtype=None):
             ci.swapaxes(-1, -2).reshape(*lead, n))
 
 
+@functools.lru_cache(maxsize=16)
+def _combined_dft_mat(n: int):
+    """[2n, 2n] float32 ``M`` with ``[xr | xi] @ M = [yr | yi]`` for the
+    Wr=cos / Wi=-sin DFT: ``M = [[Wr, Wi], [-Wi, Wr]]``.
+
+    ONE MXU matmul instead of four-plus-two-adds: the combined form reads
+    the (concatenated) operand once and writes both output planes once,
+    where the split form reads each input plane twice. NumPy on purpose —
+    the cache must never capture tracer-created arrays (see _dft_mats)."""
+    k = np.arange(n)
+    ang = 2 * np.pi * np.outer(k, k) / n
+    wr = np.cos(ang).astype(np.float32)
+    wi = (-np.sin(ang)).astype(np.float32)
+    return np.block([[wr, wi], [-wi, wr]])
+
+
+@functools.lru_cache(maxsize=16)
+def _combined_fourstep_mats(n: int):
+    """Combined-form constants for the transpose-free four-step:
+    ``M2L`` [2n2, 2n2] left-multiplies stacked [xr; xi] rows, ``M1R``
+    [2n1, 2n1] right-multiplies concatenated [br | bi] columns, twiddles
+    pre-transposed to the [k2, i1] stage layout."""
+    w1, w2, tw, n1, n2 = _dft_mats(n)
+    m2l = np.block([[w2.real, -w2.imag], [w2.imag, w2.real]]).astype(np.float32)
+    m1r = np.block([[w1.real.T, w1.imag.T],
+                    [-w1.imag.T, w1.real.T]]).astype(np.float32)
+    twr = np.ascontiguousarray(tw.T.real).astype(np.float32)
+    twi = np.ascontiguousarray(tw.T.imag).astype(np.float32)
+    return m2l, m1r, n1, n2, twr, twi
+
+
+def _dft_mag2_scrambled(xr, xi, n: int, mxu_dtype=None):
+    """|DFT|² in the four-step's native [.., k2, k1] layout (bin
+    ``k = k1*n2 + k2``), via two combined matmuls and NO output reorder —
+    the reorder runs on whatever the caller actually consumes."""
+    m2l, m1r, n1, n2, twr, twi = _combined_fourstep_mats(n)
+    lead = xr.shape[:-1]
+    xs = jnp.concatenate(
+        [xr.reshape(*lead, n2, n1), xi.reshape(*lead, n2, n1)], axis=-2
+    )                                                   # [.., 2n2, n1]
+    a = _mm(jnp.asarray(m2l), xs, mxu_dtype)            # [ar; ai]
+    ar, ai = a[..., :n2, :], a[..., n2:, :]
+    twr_, twi_ = jnp.asarray(twr), jnp.asarray(twi)
+    bs = jnp.concatenate(
+        [ar * twr_ - ai * twi_, ar * twi_ + ai * twr_], axis=-1
+    )                                                   # [.., n2, 2n1]
+    c = _mm(bs, jnp.asarray(m1r), mxu_dtype)            # [cr | ci]
+    return c[..., :n1] * c[..., :n1] + c[..., n1:] * c[..., n1:]
+
+
+def dft_mag2_planar(xr, xi, n: int, mxu_dtype=None):
+    """|DFT|² over the last axis in natural bin order, combined-matmul
+    form throughout. At n > 128 only the (half-sized) mag² is reordered
+    from the four-step's [k2, k1] layout, not two spectrum planes."""
+    if n <= 128:
+        f = jnp.concatenate([xr, xi], axis=-1)
+        y = _mm(f, jnp.asarray(_combined_dft_mat(n)), mxu_dtype)
+        return y[..., :n] * y[..., :n] + y[..., n:] * y[..., n:]
+    m = _dft_mag2_scrambled(xr, xi, n, mxu_dtype)
+    lead = m.shape[:-2]
+    return m.swapaxes(-1, -2).reshape(*lead, n)
+
+
 class PlanarDetection(NamedTuple):
     index: jnp.ndarray
     power: jnp.ndarray       # fundamental power, dB (LoRaDetector.hpp:64)
@@ -105,23 +168,46 @@ def argmax_bins_planar(xr, xi, n: int, mxu_dtype=None, with_peak=False):
     ``index`` semantics to :func:`detect_planar` (same argmax tie-break).
 
     ``with_peak=True`` additionally returns the peak |.|² (one extra
-    fused reduction) for power-threshold gating."""
-    sr, si = dft_planar(xr, xi, n, mxu_dtype=mxu_dtype)
-    mag2 = sr * sr + si * si
-    bins = jnp.argmax(mag2, axis=-1).astype(jnp.int32)
+    fused reduction) for power-threshold gating.
+
+    Combined-matmul form (one MXU matmul per DFT stage); at n > 128 the
+    argmax runs directly on the four-step's [k2, k1] layout and the bin
+    index is unscrambled arithmetically (``k = k1*n2 + k2``), skipping
+    the spectrum reorder pass entirely. Tie-break caveat: equal-magnitude
+    bins resolve in scrambled order there, not natural order — identical
+    for the all-equal (silence) case (both pick bin 0) and irrelevant for
+    real peaks, but not bit-for-bit the reference scan order at n > 128."""
+    if n <= 128:
+        mag2 = dft_mag2_planar(xr, xi, n, mxu_dtype=mxu_dtype)
+        bins = jnp.argmax(mag2, axis=-1).astype(jnp.int32)
+        if with_peak:
+            return bins, jnp.max(mag2, axis=-1)
+        return bins
+    m = _dft_mag2_scrambled(xr, xi, n, mxu_dtype=mxu_dtype)
+    lead = m.shape[:-2]
+    n2, n1 = m.shape[-2], m.shape[-1]
+    flat = m.reshape(*lead, n2 * n1)
+    j = jnp.argmax(flat, axis=-1).astype(jnp.int32)
+    bins = (j % n1) * n2 + (j // n1)
     if with_peak:
-        return bins, jnp.max(mag2, axis=-1)
+        return bins, jnp.max(flat, axis=-1)
     return bins
 
 
 def detect_planar(xr, xi, n: int, mxu_dtype=None) -> PlanarDetection:
     """Planar twin of ops.detect.detect (same argmax/tie-break/fIndex
-    semantics, LoRaDetector.hpp:39-74)."""
+    semantics, LoRaDetector.hpp:39-74).
+
+    Gather-free: every per-bin pick (peak, neighbours, peak phase) is a
+    one-hot masked reduction over the spectrum instead of a
+    ``take_along_axis`` — element gathers are pathologically slow on this
+    chip (CLAUDE.md), while the masks fuse into the |.|² pass."""
     sr, si = dft_planar(xr, xi, n, mxu_dtype=mxu_dtype)
     mag2 = sr * sr + si * si
     index = jnp.argmax(mag2, axis=-1).astype(jnp.int32)
-    ix = index[..., None]
-    max_value = jnp.take_along_axis(mag2, ix, axis=-1)[..., 0]
+    k = jnp.arange(n, dtype=jnp.int32)
+    onehot = k == index[..., None]                      # [..., N]
+    max_value = jnp.max(mag2, axis=-1)
     fundamental = jnp.sqrt(max_value)
     scale_db = 20.0 * jnp.log10(jnp.float32(n))
     power = 20.0 * jnp.log10(fundamental) - scale_db
@@ -133,15 +219,13 @@ def detect_planar(xr, xi, n: int, mxu_dtype=None) -> PlanarDetection:
     right_ix = jnp.where(index < n - 1, index + 1, 0)[..., None]
 
     def mag_at(j):
-        return jnp.sqrt(
-            jnp.take_along_axis(mag2, j, axis=-1)[..., 0]
-        )
+        return jnp.sqrt(jnp.sum(jnp.where(k == j, mag2, 0.0), axis=-1))
 
     left, right = mag_at(left_ix), mag_at(right_ix)
     denom = 2.0 * fundamental - right - left
     findex = jnp.where(denom == 0.0, 0.0, 0.5 * (right - left) / denom)
-    peak_re = jnp.take_along_axis(sr, ix, axis=-1)[..., 0]
-    peak_im = jnp.take_along_axis(si, ix, axis=-1)[..., 0]
+    peak_re = jnp.sum(jnp.where(onehot, sr, 0.0), axis=-1)
+    peak_im = jnp.sum(jnp.where(onehot, si, 0.0), axis=-1)
     return PlanarDetection(index, power.astype(jnp.float32),
                            power_avg.astype(jnp.float32),
                            findex.astype(jnp.float32), peak_re, peak_im)
@@ -291,8 +375,10 @@ def demodulate_planar(xr, xi, params: LoraParams, fused: bool = False,
         syms = fused_demod(yr, yi, rate, t_off, params)
     else:
         fr, fi = _rotated_windows_planar(yr, yi, rate, t_off, scale, params)
-        det = detect_planar(fr, fi, n, mxu_dtype=mxu_dtype)
-        syms = det.index
+        # decision-only detection: combined-matmul DFT + |.|² + argmax
+        # (the metric outputs would be DCE'd anyway; this also skips the
+        # four-step's spectrum reorder at N > 128)
+        syms = argmax_bins_planar(fr, fi, n, mxu_dtype=mxu_dtype)
 
     syms = syms.astype(jnp.uint16)
     shift = (params.sf - 4) if params.sf > 4 else 0
@@ -407,8 +493,7 @@ def demodulate_spectrum_planar(xr, xi, params: LoraParams,
         xr, xi, params, assume_normalized, known_offsets
     )
     fr, fi = _rotated_windows_planar(yr, yi, rate, t_off, scale, params)
-    sr, si = dft_planar(fr, fi, n, mxu_dtype=mxu_dtype)
-    mag2 = sr * sr + si * si
+    mag2 = dft_mag2_planar(fr, fi, n, mxu_dtype=mxu_dtype)
     syms = jnp.argmax(mag2[..., :2, :], axis=-1).astype(jnp.int32)
     shift = (params.sf - 4) if params.sf > 4 else 0
     hi = (syms[..., 0] >> shift) & 0x0F
