@@ -317,6 +317,68 @@ def receive_block_planar(xr, xi, params: LoraParams,
                        cfo, time_offset, snr_db.astype(jnp.float32))
 
 
+def receive_blind_planar(xr, xi, base_params: LoraParams,
+                         n_payload_symbols: int,
+                         sfs=(7, 8, 9, 10, 11, 12), max_frames: int = 4,
+                         preamble_len: int = 8,
+                         min_power_db: float | None = -30.0):
+    """Blind spreading-factor receive: run the device-side block receiver
+    at every candidate SF over the SAME ``[..., T]`` planes and return
+    ``{sf: BlockFrames}``.
+
+    No blind-SF mode exists upstream (the reference assumes a known SF,
+    phy.cpp:13-18 even re-derives it from the FFT plan size; gr-lora_sdr
+    receivers are fixed-SF too). Discrimination comes from the scan
+    itself: dechirping with the wrong SF's downchirp spreads a chirp's
+    energy across the spectrum, so the equal-bin preamble run + SFD
+    down-dominance test only fires at the true SF (gated further by
+    ``min_power_db``). Each SF is one jit (cached per shape); SFs whose
+    symbol period cannot hold a preamble inside ``T`` are omitted.
+
+    ``n_payload_symbols`` is SF-independent in the simple chain
+    (2 symbols/byte, LoRaEncoder.cpp:6-18).
+    """
+    import dataclasses
+
+    out = {}
+    t = xr.shape[-1]
+    for sf in sfs:
+        p = dataclasses.replace(base_params, sf=sf)
+        if t // p.step < preamble_len + 4:       # preamble + SFD can't fit
+            continue
+        out[sf] = receive_block_planar(
+            xr, xi, p, n_payload_symbols, max_frames, preamble_len,
+            min_power_db,
+        )
+    return out
+
+
+def blind_frames(results) -> list[dict]:
+    """Flatten :func:`receive_blind_planar` output to a host-side list of
+    found frames, sorted by (leading index..., start): each entry is a
+    dict with ``sf``, ``index`` (leading-dim tuple, () for 1-D), ``k``
+    (candidate slot), ``start``, ``sync``, ``cfo_bins``, ``snr_db`` and
+    the ``symbols`` row (numpy)."""
+    rows = []
+    for sf, blk in results.items():
+        found = np.asarray(blk.found)
+        for flat in np.flatnonzero(found):
+            idx = np.unravel_index(flat, found.shape)
+            lead, k = idx[:-1], idx[-1]
+            rows.append({
+                "sf": sf,
+                "index": tuple(int(i) for i in lead),
+                "k": int(k),
+                "start": int(np.asarray(blk.start)[idx]),
+                "sync": int(np.asarray(blk.sync)[idx]),
+                "cfo_bins": int(np.asarray(blk.cfo_bins)[idx]),
+                "snr_db": float(np.asarray(blk.snr_db)[idx]),
+                "symbols": np.asarray(blk.symbols)[idx],
+            })
+    rows.sort(key=lambda r: (r["index"], r["start"], r["sf"]))
+    return rows
+
+
 @partial(jax.jit, static_argnames=("k", "params", "n_payload_symbols",
                                    "max_frames", "preamble_len",
                                    "taps_per_branch", "min_power_db"))

@@ -15,8 +15,11 @@ the stream is fully inside at least one buffer; duplicates from the
 overlap are suppressed by absolute start index. Constant buffer shape =
 one jit compilation for the whole run. ``--checkpoint=PATH`` persists the
 carry/position/dedupe state across invocations (resume mid-stream).
+``--sf=auto`` runs blind spreading-factor detection: the same buffer is
+scanned at SF7-12 (models/sync.receive_blind_planar) and each frame line
+carries its detected ``sf=N``.
 
-Flags: ``--in=FILE|-`` ``--sf`` ``--cr`` ``--bw`` ``--osr`` ``--sync``
+Flags: ``--in=FILE|-`` ``--sf=N|auto`` ``--cr`` ``--bw`` ``--osr`` ``--sync``
 ``--format=cf32|ci16|ci8`` ``--scale`` ``--payload-len=BYTES``
 ``--block=SAMPLES`` ``--max-frames=K`` ``--thresh=DB``
 ``--checkpoint=PATH`` ``--quiet``
@@ -38,7 +41,7 @@ def main(argv=None) -> int:
     use_cpu()
     flags = parse_flags(sys.argv[1:] if argv is None else argv, {
         "in": (str, ""),
-        "sf": (int, 7),
+        "sf": (lambda v: v if v == "auto" else int(v), 7),
         "cr": (int, 1),
         "bw": (bandwidth_flag, None),
         "osr": (int, 1),
@@ -57,25 +60,38 @@ def main(argv=None) -> int:
     if flags["format"] not in _FORMATS:
         print(f"Unknown --format={flags['format']}", file=sys.stderr)
         return 1
-    params = params_from({k: v for k, v in flags.items() if v is not None})
+    import dataclasses
+
+    blind = flags["sf"] == "auto"
+    base_flags = dict(flags, sf=7) if blind else flags
+    params = params_from({k: v for k, v in base_flags.items()
+                          if v is not None})
+    # --sf=auto: run the block receiver at every SF on the same buffer
+    # (models/sync.receive_blind_planar rationale); buffer geometry sizes
+    # to the WORST-CASE (largest-SF) frame so every candidate fits.
+    sf_list = [7, 8, 9, 10, 11, 12] if blind else [params.sf]
+    params_by_sf = [dataclasses.replace(params, sf=sf) for sf in sf_list]
 
     from .. import runtime
     from ..models import modem, stream, sync
 
     dtype, bytes_per_sample = _FORMATS[flags["format"]]
     n_payload_symbols = flags["payload-len"] * 2      # simple Hamming84 chain
-    frame_len = (stream.frame_overhead_samples(params)
-                 + n_payload_symbols * params.step)
+    frame_lens = {
+        p.sf: (stream.frame_overhead_samples(p)
+               + n_payload_symbols * p.step) for p in params_by_sf
+    }
+    frame_len = max(frame_lens.values())
     kch = flags["channels"]                           # 0 = single channel
     rate = max(kch, 1)                                # wideband:channel ratio
-    carry_len = rate * (frame_len + params.step)
+    carry_len = rate * (frame_len + max(p.step for p in params_by_sf))
     block = max(flags["block"], rate * frame_len)     # a frame must fit
     block = -(-block // rate) * rate                  # multiple of K
 
     carry_re = np.zeros(carry_len, np.float32)
     carry_im = np.zeros(carry_len, np.float32)
     base = -carry_len                                  # abs index of carry[0]
-    reported: set[tuple[int, int]] = set()             # (channel, abs start)
+    reported: set[tuple[int, int, int]] = set()        # (sf, chan, abs start)
     n_frames = 0
 
     ckpt = pathlib.Path(flags["checkpoint"]) if flags["checkpoint"] else None
@@ -83,16 +99,17 @@ def main(argv=None) -> int:
         z = np.load(ckpt)
         carry_re, carry_im = z["re"], z["im"]
         base = int(z["base"])
-        reported = set((int(c), int(s)) for c, s in z["reported"].reshape(-1, 2))
+        reported = set((int(f), int(c), int(s))
+                       for f, c, s in z["reported"].reshape(-1, 3))
         n_frames = int(z["n_frames"])
 
     src = (sys.stdin.buffer if flags["in"] in ("", "-")
            else open(flags["in"], "rb"))
 
-    def report(blk, chan, buf_base, k):
+    def report(blk, p, chan, buf_base, k):
         nonlocal n_frames
         sync_word = int(np.asarray(blk.sync)[k])
-        if not flags["any-sync"] and sync_word != params.sync_word:
+        if not flags["any-sync"] and sync_word != p.sync_word:
             # the sync word is the network filter (the Pothos demod's
             # ``sync`` property): rejects transition-band chirp leakage
             # that picks up a bogus sync on quiet channels
@@ -103,46 +120,51 @@ def main(argv=None) -> int:
         # overlap re-detections and bin-jitter run splits can move the
         # candidate a few samples: same-channel starts within half a
         # frame are the same frame
-        near = frame_len * rate // 2
-        if any(c == chan and abs(s - abs_start) < near for c, s in reported):
+        near = frame_lens[p.sf] * rate // 2
+        if any(f == p.sf and c == chan and abs(s - abs_start) < near
+               for f, c, s in reported):
             return
-        reported.add((chan, abs_start))
+        reported.add((p.sf, chan, abs_start))
         n_frames += 1
         payload = np.asarray(modem.decode(np.asarray(blk.symbols)[k])).tobytes()
         ch = f"ch={chan} " if kch else ""
-        print(f"frame {ch}@{abs_start} "
+        sf_tag = f"sf={p.sf} " if blind else ""
+        print(f"frame {ch}{sf_tag}@{abs_start} "
               f"sync=0x{int(np.asarray(blk.sync)[k]):02x} "
               f"cfo_bins={int(np.asarray(blk.cfo_bins)[k])} "
               f"snr={float(np.asarray(blk.snr_db)[k]):.1f}dB "
               f"payload={payload.hex()}", flush=True)
 
     def process(buf_re, buf_im, buf_base):
-        if kch:
-            pad = (-buf_re.size) % rate
-            if pad:
-                buf_re = np.concatenate([buf_re, np.zeros(pad, np.float32)])
-                buf_im = np.concatenate([buf_im, np.zeros(pad, np.float32)])
-            blk = sync.receive_wideband_planar(
-                buf_re, buf_im, kch, params, n_payload_symbols,
-                max_frames=flags["max-frames"],
-                min_power_db=flags["thresh"],
-            )
-            found = np.asarray(blk.found)                  # [K, max]
-            for chan in range(kch):
-                for k in np.flatnonzero(found[chan]):
-                    report(blk._replace(
-                        start=blk.start[chan], symbols=blk.symbols[chan],
-                        sync=blk.sync[chan], cfo_bins=blk.cfo_bins[chan],
-                        snr_db=blk.snr_db[chan],
-                    ), chan, buf_base, k)
-        else:
-            blk = sync.receive_block_planar(
-                buf_re, buf_im, params, n_payload_symbols,
-                max_frames=flags["max-frames"],
-                min_power_db=flags["thresh"],
-            )
-            for k in np.flatnonzero(np.asarray(blk.found)):
-                report(blk, 0, buf_base, k)
+        for p in params_by_sf:
+            if kch:
+                pad = (-buf_re.size) % rate
+                if pad:
+                    br = np.concatenate([buf_re, np.zeros(pad, np.float32)])
+                    bi = np.concatenate([buf_im, np.zeros(pad, np.float32)])
+                else:
+                    br, bi = buf_re, buf_im
+                blk = sync.receive_wideband_planar(
+                    br, bi, kch, p, n_payload_symbols,
+                    max_frames=flags["max-frames"],
+                    min_power_db=flags["thresh"],
+                )
+                found = np.asarray(blk.found)              # [K, max]
+                for chan in range(kch):
+                    for k in np.flatnonzero(found[chan]):
+                        report(blk._replace(
+                            start=blk.start[chan], symbols=blk.symbols[chan],
+                            sync=blk.sync[chan], cfo_bins=blk.cfo_bins[chan],
+                            snr_db=blk.snr_db[chan],
+                        ), p, chan, buf_base, k)
+            else:
+                blk = sync.receive_block_planar(
+                    buf_re, buf_im, p, n_payload_symbols,
+                    max_frames=flags["max-frames"],
+                    min_power_db=flags["thresh"],
+                )
+                for k in np.flatnonzero(np.asarray(blk.found)):
+                    report(blk, p, 0, buf_base, k)
 
     try:
         while True:
@@ -165,14 +187,14 @@ def main(argv=None) -> int:
             # keep the dedupe set bounded: starts behind the carry can
             # never be reported again
             reported = {t for t in reported
-                        if t[1] >= base - frame_len * rate}
+                        if t[2] >= base - frame_len * rate}
     finally:
         if src is not sys.stdin.buffer:
             src.close()
 
     if ckpt:
         np.savez(ckpt, re=carry_re, im=carry_im, base=np.int64(base),
-                 reported=np.asarray(sorted(reported), np.int64).reshape(-1, 2),
+                 reported=np.asarray(sorted(reported), np.int64).reshape(-1, 3),
                  n_frames=np.int64(n_frames))
     if not flags["quiet"]:
         print(f"{n_frames} frames", file=sys.stderr)

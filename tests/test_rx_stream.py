@@ -171,3 +171,42 @@ def test_rx_stream_wideband_channels(tmp_path, capfd):
     # wideband positions ~ channel offset * K (filter group delay = 0)
     assert abs(int(by_ch[1].split("@")[1].split()[0]) - 600 * k) <= k
     assert abs(int(by_ch[3].split("@")[1].split()[0]) - 1400 * k) <= k
+
+
+def test_rx_stream_blind_sf(tmp_path, capfd):
+    """--sf=auto: an SF7 and an SF9 frame in one stream are both decoded,
+    each line tagged with its detected SF."""
+    rng = np.random.RandomState(21)
+    pls = {7: rng.randint(0, 256, 8).astype(np.uint8),
+           9: rng.randint(0, 256, 8).astype(np.uint8)}
+    parts, pos, starts = [], 0, {}
+    for sf in (7, 9):
+        p = LoraParams(sf=sf)
+        gap = 5 * 128
+        parts.append(np.zeros(gap, np.complex64))
+        pos += gap
+        fr = np.asarray(stream.frame_modulate(
+            np.asarray(modem.encode(pls[sf]), np.int32), p))
+        starts[sf] = pos
+        parts.append(fr)
+        pos += fr.size
+    parts.append(np.zeros(4096, np.complex64))
+    sig = np.concatenate(parts)
+    path = tmp_path / "mix.iq"
+    path.write_bytes(_interleave(sig))
+
+    rc = rx_stream.main([f"--in={path}", "--sf=auto", "--payload-len=8",
+                         "--quiet"])
+    assert rc == 0
+    out = capfd.readouterr().out.strip().splitlines()
+    assert len(out) == 2
+    got = {}
+    for line in out:
+        fields = dict(kv.split("=", 1) for kv in line.split()[1:]
+                      if "=" in kv)
+        at = int(line.split("@")[1].split()[0])
+        got[int(fields["sf"])] = (at, fields["payload"])
+    assert set(got) == {7, 9}
+    for sf in (7, 9):
+        assert got[sf][0] == starts[sf]
+        assert got[sf][1] == pls[sf].tobytes().hex()

@@ -277,3 +277,43 @@ def test_block_frames_snr_observable():
     # detector SNR ~ channel SNR + processing margin; must sit well below
     # the clean reading and above the no-signal floor
     assert 5.0 < noisy < clean - 10.0
+
+
+def test_blind_sf_receive_mixed_stream():
+    """SF7 and SF9 frames in ONE stream: receive_blind_planar finds each
+    at exactly its own SF (wrong-SF dechirp spreads the energy, so the
+    equal-bin run + SFD test rejects cross-SF candidates), with correct
+    starts, sync words and decoded payloads."""
+    rng = np.random.RandomState(12)
+    base = LoraParams(sf=7)
+    pl7 = rng.randint(0, 256, 4).astype(np.uint8)
+    pl9 = rng.randint(0, 256, 4).astype(np.uint8)
+    f7 = _frame(LoraParams(sf=7), pl7)
+    f9 = _frame(LoraParams(sf=9), pl9)
+    off7 = 3 * 128
+    off9 = off7 + f7.size + 5 * 128
+    total = off9 + f9.size + 14 * 512          # room for an SF9+ scan tail
+    s = _place([(f7, off7), (f9, off9)], total)
+
+    re, im = planar.split_complex(s)
+    res = sync.receive_blind_planar(re, im, base, n_payload_symbols=8,
+                                    sfs=(7, 8, 9, 10))
+    rows = sync.blind_frames(res)
+    assert [r["sf"] for r in rows] == [7, 9]
+    assert rows[0]["start"] == off7 and rows[1]["start"] == off9
+    for r, pl in zip(rows, (pl7, pl9)):
+        assert r["sync"] == 0x12
+        dec = np.asarray(modem.decode(r["symbols"]))
+        np.testing.assert_array_equal(dec, pl)
+
+
+def test_blind_sf_rejects_noise_and_skips_short_sfs():
+    """Noise-only stream: no SF fires; SFs whose preamble cannot fit in
+    the block are omitted from the result dict."""
+    rng = np.random.RandomState(13)
+    noise = (rng.randn(9000) + 1j * rng.randn(9000)).astype(np.complex64) * 0.05
+    re, im = planar.split_complex(noise)
+    res = sync.receive_blind_planar(re, im, LoraParams(sf=7), 8,
+                                    sfs=(7, 8, 9, 12))
+    assert 12 not in res                        # 9000 < (8+4)*4096
+    assert sync.blind_frames(res) == []
