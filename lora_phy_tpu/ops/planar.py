@@ -105,10 +105,11 @@ def _combined_dft_mat(n: int):
 
 @functools.lru_cache(maxsize=16)
 def _combined_fourstep_mats(n: int):
-    """Combined-form constants for the transpose-free four-step:
-    ``M2L`` [2n2, 2n2] left-multiplies stacked [xr; xi] rows, ``M1R``
-    [2n1, 2n1] right-multiplies concatenated [br | bi] columns, twiddles
-    pre-transposed to the [k2, i1] stage layout."""
+    """Combined-form constants for the four-step: ``M1R`` [2n1, 2n1]
+    right-multiplies concatenated [br | bi] columns; ``M2L`` is the
+    legacy left-multiply stage-1 matrix (the transposed-stack form in
+    _dft_mag2_scrambled uses ``_combined_dft_mat(n2)`` instead); twiddles
+    stored in the [k2, i1] layout (transpose at use site for [i1, k2])."""
     w1, w2, tw, n1, n2 = _dft_mats(n)
     m2l = np.block([[w2.real, -w2.imag], [w2.imag, w2.real]]).astype(np.float32)
     m1r = np.block([[w1.real.T, w1.imag.T],
@@ -121,17 +122,28 @@ def _combined_fourstep_mats(n: int):
 def _dft_mag2_scrambled(xr, xi, n: int, mxu_dtype=None):
     """|DFT|² in the four-step's native [.., k2, k1] layout (bin
     ``k = k1*n2 + k2``), via two combined matmuls and NO output reorder —
-    the reorder runs on whatever the caller actually consumes."""
-    m2l, m1r, n1, n2, twr, twi = _combined_fourstep_mats(n)
+    the reorder runs on whatever the caller actually consumes.
+
+    Transposed-stack form: BOTH dots contract their minor axis — stage 1
+    is ``xst[.., i1, 2n2] @ combined_dft(n2)`` (the [i2, i1] -> [i1, i2]
+    transpose rides the producer's write pattern), the twiddle runs in
+    natural [n1, n2] layout, and a transposing concat into [.., n2, 2n1]
+    feeds stage 2. The earlier left-multiply form contracted the -2 axis
+    of its stacked operand, which made layout assignment relayout both
+    matmul operands (four bf16 block-transpose copies at SF12)."""
+    _, m1r, n1, n2, twr_t, twi_t = _combined_fourstep_mats(n)
     lead = xr.shape[:-1]
-    xs = jnp.concatenate(
-        [xr.reshape(*lead, n2, n1), xi.reshape(*lead, n2, n1)], axis=-2
-    )                                                   # [.., 2n2, n1]
-    a = _mm(jnp.asarray(m2l), xs, mxu_dtype)            # [ar; ai]
-    ar, ai = a[..., :n2, :], a[..., n2:, :]
-    twr_, twi_ = jnp.asarray(twr), jnp.asarray(twi)
+    xst = jnp.concatenate(
+        [xr.reshape(*lead, n2, n1).swapaxes(-1, -2),
+         xi.reshape(*lead, n2, n1).swapaxes(-1, -2)], axis=-1
+    )                                                   # [.., n1, 2n2]
+    a = _mm(xst, jnp.asarray(_combined_dft_mat(n2)), mxu_dtype)
+    ar, ai = a[..., :n2], a[..., n2:]                   # [.., n1, n2]
+    twr = jnp.asarray(twr_t.T.copy())                   # [n1, n2] natural
+    twi = jnp.asarray(twi_t.T.copy())
     bs = jnp.concatenate(
-        [ar * twr_ - ai * twi_, ar * twi_ + ai * twr_], axis=-1
+        [(ar * twr - ai * twi).swapaxes(-1, -2),
+         (ar * twi + ai * twr).swapaxes(-1, -2)], axis=-1
     )                                                   # [.., n2, 2n1]
     c = _mm(bs, jnp.asarray(m1r), mxu_dtype)            # [cr | ci]
     return c[..., :n1] * c[..., :n1] + c[..., n1:] * c[..., n1:]
