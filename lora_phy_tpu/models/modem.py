@@ -95,7 +95,8 @@ def modulate(symbols, params: LoraParams, amplitude: float = 1.0):
     """Symbols -> phase-continuous chirped IQ with the 2-symbol sync preamble
     (reference: src/phy/LoRaMod.cpp:8-43). [..., S] -> [..., (S+2)*step]."""
     return modulate_symbols(
-        symbols, params.sf, params.osr, params.scale, amplitude, params.sync_word
+        symbols, params.sf, params.osr, params.scale, amplitude,
+        params.sync_word, params.continuous_chirp,
     )
 
 

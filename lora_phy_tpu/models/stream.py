@@ -57,9 +57,11 @@ def frame_modulate(symbols, params: LoraParams, preamble_len: int = 8,
     # modulate_symbols emits [sync, sync, data...]; we need the preamble
     # *before* the sync, so modulate zeros+payload and reorder segments.
     body = modulate_symbols(symbols, params.sf, params.osr, params.scale,
-                            amplitude, params.sync_word)  # [..., (S+2)*step]
+                            amplitude, params.sync_word,
+                            params.continuous_chirp)      # [..., (S+2)*step]
     pre = modulate_symbols(zeros[..., 2:], params.sf, params.osr, params.scale,
-                           amplitude, 0x00)               # preamble upchirps
+                           amplitude, 0x00,
+                           params.continuous_chirp)       # preamble upchirps
     # one phase-continuous 2.25-symbol downchirp (no copy seams, so any
     # fully-covered RX window dechirps to a clean single tone)
     down_sec, _ = gen_chirp(

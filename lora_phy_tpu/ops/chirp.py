@@ -94,7 +94,8 @@ def gen_chirp_np(
     return samples, end
 
 
-def _chirp_phase(symbols, n: int, osr: int, bw_scale_x8: int):
+def _chirp_phase(symbols, n: int, osr: int, bw_scale_x8: int,
+                 continuous: bool = False):
     """Shared integer-lattice phase for phase-continuous upchirps.
 
     ``symbols``: [..., S] int32 symbol values in [0, N). Returns the
@@ -105,6 +106,19 @@ def _chirp_phase(symbols, n: int, osr: int, bw_scale_x8: int):
     has the exact closed form (0 <= w < M, k < M, so at most one wrap per
     sample): ``S_k = (k+1)(w+1) + k(k+1)/2 - M*max(0, (k+1)-(M-w))`` —
     all int32, elementwise (no scan), bit-identical to the running sum.
+
+    ``continuous=True`` moves the intra-symbol frequency fold ONE sample
+    later. The reference's fold instant leaves the post-fold segment with
+    a constant spurious phase of ``2*pi*bw_scale/osr`` (mod 2*pi; the
+    lattice constant ``-M*(1+w-M) === -M`` mod P): invisible at osr=1
+    (=== 0), but at osr=2 it is a pi jump that splits the dechirped tone
+    into two equal half-power peaks at ``sym +/- 1`` — wrong-bin
+    detections on a CLEAN channel for most symbol values. Shifting the
+    fold to the natural unwrapped boundary makes the constant
+    ``-M*(w-M) === 0`` (w is a multiple of osr), giving a mathematically
+    exact single-bin tone after decimation for every symbol, and is
+    BIT-IDENTICAL at osr=1 (real Semtech radios are phase-continuous;
+    the defect is an artifact of the reference's software modulator).
     """
     bw_scale = bw_scale_x8 / 8.0
     f_step, p = _lattice_period(n, osr, bw_scale)
@@ -114,7 +128,8 @@ def _chirp_phase(symbols, n: int, osr: int, bw_scale_x8: int):
     ks = jnp.arange(m, dtype=jnp.int32)
     w = (symbols.astype(jnp.int32) * osr)[..., None]       # [..., S, 1]
     k1 = ks + 1                                            # [M]
-    wraps = jnp.maximum(0, k1[None, :] + w - m)            # [..., S, M]
+    off = 1 if continuous else 0
+    wraps = jnp.maximum(0, k1[None, :] + w - m - off)      # [..., S, M]
     s_cum = k1 * (w + 1) + (ks * k1) // 2 - m * wraps      # <= M(M+1) < 2^31
     t_lattice = s_cum - half_m * k1                        # phase / fStep, int32
 
@@ -126,27 +141,30 @@ def _chirp_phase(symbols, n: int, osr: int, bw_scale_x8: int):
     return lattice.astype(jnp.float32) * jnp.float32(f_step)
 
 
-@partial(jax.jit, static_argnames=("n", "osr", "bw_scale_x8"))
-def _mod_chirps(symbols, n: int, osr: int, bw_scale_x8: int, ampl):
+@partial(jax.jit, static_argnames=("n", "osr", "bw_scale_x8", "continuous"))
+def _mod_chirps(symbols, n: int, osr: int, bw_scale_x8: int, ampl,
+                continuous: bool = False):
     """Complex64 phase-continuous upchirps (see :func:`_chirp_phase`)."""
-    phase = _chirp_phase(symbols, n, osr, bw_scale_x8)
+    phase = _chirp_phase(symbols, n, osr, bw_scale_x8, continuous)
     return (ampl * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))).astype(
         jnp.complex64
     )
 
 
-@partial(jax.jit, static_argnames=("n", "osr", "bw_scale_x8"))
-def _mod_chirps_planar(symbols, n: int, osr: int, bw_scale_x8: int, ampl):
+@partial(jax.jit, static_argnames=("n", "osr", "bw_scale_x8", "continuous"))
+def _mod_chirps_planar(symbols, n: int, osr: int, bw_scale_x8: int, ampl,
+                       continuous: bool = False):
     """Planar (re, im float32) twin of :func:`_mod_chirps` — the TX path
     for accelerators without complex support (and the TPU-native layout
     regardless). Bit-identical planes to the complex emitter."""
-    phase = _chirp_phase(symbols, n, osr, bw_scale_x8)
+    phase = _chirp_phase(symbols, n, osr, bw_scale_x8, continuous)
     ampl = jnp.float32(ampl)
     return ampl * jnp.cos(phase), ampl * jnp.sin(phase)
 
 
 def modulate_symbols(symbols, sf: int, osr: int, bw_scale: float,
-                     ampl: float = 1.0, sync_word: int = 0x12):
+                     ampl: float = 1.0, sync_word: int = 0x12,
+                     continuous: bool = False):
     """TX chain of ``lora_modulate`` (reference: src/phy/LoRaMod.cpp:8-43):
     2 sync-word upchirps followed by one upchirp per symbol, phase-continuous,
     amplitude clamped to [-1, 1].
@@ -156,7 +174,7 @@ def modulate_symbols(symbols, sf: int, osr: int, bw_scale: float,
     allsyms = _tx_symbol_plan(symbols, sf, sync_word)
     ampl = float(np.clip(ampl, -1.0, 1.0))
     bw8 = int(round(bw_scale * 8))
-    chirps = _mod_chirps(allsyms, 1 << sf, osr, bw8, ampl)
+    chirps = _mod_chirps(allsyms, 1 << sf, osr, bw8, ampl, continuous)
     return chirps.reshape(*chirps.shape[:-2], -1)
 
 
@@ -173,7 +191,8 @@ def _tx_symbol_plan(symbols, sf: int, sync_word: int):
 
 
 def modulate_symbols_planar(symbols, sf: int, osr: int, bw_scale: float,
-                            ampl: float = 1.0, sync_word: int = 0x12):
+                            ampl: float = 1.0, sync_word: int = 0x12,
+                            continuous: bool = False):
     """Planar twin of :func:`modulate_symbols` — the full ``lora_modulate``
     TX chain (src/phy/LoRaMod.cpp:8-43) emitting (re, im) float32 planes so
     the modulator runs on complex-free TPU backends. Planes are bit-exact
@@ -184,7 +203,7 @@ def modulate_symbols_planar(symbols, sf: int, osr: int, bw_scale: float,
     allsyms = _tx_symbol_plan(symbols, sf, sync_word)
     ampl = float(np.clip(ampl, -1.0, 1.0))
     bw8 = int(round(bw_scale * 8))
-    re, im = _mod_chirps_planar(allsyms, 1 << sf, osr, bw8, ampl)
+    re, im = _mod_chirps_planar(allsyms, 1 << sf, osr, bw8, ampl, continuous)
     return (re.reshape(*re.shape[:-2], -1), im.reshape(*im.shape[:-2], -1))
 
 

@@ -64,3 +64,27 @@ def apply_awgn(key, samples, snr_db):
         jax.random.normal(ki, shape, jnp.float32),
     ) * (sigma[..., None] / jnp.float32(math.sqrt(2.0)))
     return samples + noise
+
+
+def apply_sro(samples, ppm: float):
+    """Sample-rate offset (clock drift): resample at ``1 + ppm*1e-6``
+    times the nominal rate via linear interpolation —
+    ``y[k] = x(k*(1+delta))``. Models TX/RX crystal mismatch, which the
+    reference has no injector for (its channel model is CFO + integer
+    shift + AWGN only). Positive ppm -> receiver clock fast -> the frame
+    appears compressed. Output length equals input length (tail zero
+    where the source position runs past the end)."""
+    count = samples.shape[-1]
+    k = jnp.arange(count, dtype=jnp.int32)
+    # pos = k*(1+d); computed as k + drift with only the small drift term
+    # in floating point, so float32 stays exact for any realistic stream
+    # length (drift <= count*|ppm|*1e-6 << 2**24).
+    drift = k.astype(jnp.float32) * jnp.float32(float(ppm) * 1e-6)
+    dwhole = jnp.floor(drift)
+    frac = (drift - dwhole).astype(samples.dtype)
+    i0 = k + dwhole.astype(jnp.int32)
+    valid = (i0 + 1 < count) & (i0 >= 0)
+    i0c = jnp.clip(i0, 0, count - 2)
+    a = jnp.take(samples, i0c, axis=-1)
+    b = jnp.take(samples, i0c + 1, axis=-1)
+    return jnp.where(valid, a * (1 - frac) + b * frac, 0.0)

@@ -535,7 +535,7 @@ def modulate_planar(symbols, params: LoraParams, amplitude: float = 1.0):
 
     return modulate_symbols_planar(
         symbols, params.sf, params.osr, params.scale, amplitude,
-        params.sync_word,
+        params.sync_word, params.continuous_chirp,
     )
 
 

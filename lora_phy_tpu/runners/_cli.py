@@ -67,6 +67,7 @@ def params_from(flags) -> LoraParams:
         osr=flags.get("osr", 1),
         window=flags.get("window", Window.NONE),
         sync_word=flags.get("sync", 0x12),
+        continuous_chirp=bool(flags.get("continuous-chirp", False)),
     )
 
 

@@ -26,6 +26,7 @@ def main(argv=None) -> int:
         "osr": (int, 1),
         "out": (str, ""),
         "stdout": (None, False),
+        "continuous-chirp": (None, False),
     })
     hexstr = flags["payload"]
     if not hexstr or len(hexstr) % 2 != 0:

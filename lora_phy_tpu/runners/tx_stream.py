@@ -44,6 +44,7 @@ def main(argv=None) -> int:
         "gap": (int, 1024),
         "format": (str, "cf32"),
         "ampl": (float, 1.0),
+        "continuous-chirp": (None, False),
     })
     if flags["format"] not in _FORMATS:
         print(f"Unknown --format={flags['format']}", file=sys.stderr)

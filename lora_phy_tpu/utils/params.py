@@ -45,6 +45,15 @@ class LoraParams:
     ``osr``      oversampling ratio (>= 1)
     ``window``   optional analysis window applied before the FFT
     ``sync_word`` two-nibble network sync word
+    ``continuous_chirp`` TX fold convention: False reproduces the
+                 reference modulator bit-for-bit (its intra-symbol
+                 frequency fold leaves a spurious 2*pi/osr phase jump —
+                 a pi discontinuity at osr=2 that splits dechirped tones
+                 into sym +/- 1 twin peaks on a CLEAN channel); True
+                 folds one sample later, which is bit-identical at osr=1
+                 and mathematically exact at any osr (what real
+                 phase-continuous radio hardware emits). See
+                 ops/chirp._chirp_phase and docs/SEMANTICS.md.
     """
 
     sf: int = 7
@@ -53,6 +62,7 @@ class LoraParams:
     osr: int = 1
     window: Window = Window.NONE
     sync_word: int = 0x12
+    continuous_chirp: bool = False
 
     def __post_init__(self):
         if not (2 <= self.sf <= 12):

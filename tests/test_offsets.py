@@ -109,3 +109,103 @@ def test_per_symbol_cfo_wrap_matches_reference_injector():
     b = np.asarray(apply_cfo_continuous(dech, 1.5, p.n, p.osr))
     np.testing.assert_allclose(a[: p.step], b[: p.step], atol=1e-5)
     assert not np.allclose(a[p.step: 2 * p.step], b[p.step: 2 * p.step])
+
+
+def test_continuous_chirp_fixes_reference_osr2_fold():
+    """TX intra-symbol fold convention (ops/chirp._chirp_phase,
+    docs/SEMANTICS.md): the reference modulator's frequency fold
+    (ChirpGenerator.hpp:38-41) triggers one sample early, leaving the
+    post-fold segment a constant spurious phase of ``2*pi*bw_scale/osr``
+    mod 2*pi. Invisible at osr=1 (=== 0 mod 2*pi), but at osr=2 it is a
+    pi jump: the dechirped tone decimated at the NATURAL phase splits
+    into equal twin peaks at sym +/- 1 — wrong-bin argmax for most
+    symbols on a clean channel (the exact tone migrates to decimation
+    phase 1, i.e. the waveform carries a built-in one-sample skew).
+    ``continuous_chirp=True`` folds one sample later: bit-identical IQ
+    at osr=1, and a mathematically exact zero-leakage single-bin tone at
+    the natural decimation phase for every symbol at any osr — what a
+    phase-continuous Semtech radio actually emits."""
+    syms = np.arange(128, dtype=np.int32)
+
+    # osr=1: the two conventions are bit-identical (spurious constant === 0)
+    for sf in (7, 9):
+        a = np.asarray(modem.modulate(syms, LoraParams(sf=sf, osr=1)))
+        b = np.asarray(modem.modulate(
+            syms, LoraParams(sf=sf, osr=1, continuous_chirp=True)))
+        np.testing.assert_array_equal(a, b)
+
+    def phase0_spectra(cont):
+        p = LoraParams(sf=7, osr=2, continuous_chirp=cont)
+        iq = np.asarray(modem.modulate(syms, p))
+        dech = np.asarray(modem.dechirp(iq, p)).reshape(-1, p.n * p.osr)[2:]
+        return np.abs(np.fft.fft(dech[:, :: p.osr], axis=-1))  # [S, N]
+
+    # reference fold: natural-phase decimation misdetects ~half the
+    # alphabet; the tone splits into equal half-power peaks at sym +/- 1
+    spec = phase0_spectra(False)
+    assert (spec.argmax(-1) != syms).sum() > 50
+    s = spec[100]
+    assert s[99] > 0.35 * 128 and abs(s[99] - s[101]) < 1e-2
+    assert s[100] < 0.6 * 128
+
+    # continuous fold: exact single-bin tone, zero leakage, every symbol
+    spec = phase0_spectra(True)
+    np.testing.assert_array_equal(spec.argmax(-1), syms)
+    peak = spec[np.arange(128), syms]
+    np.testing.assert_allclose(peak, 128.0, atol=1e-3)
+    spec[np.arange(128), syms] = 0.0
+    assert float(spec.max()) < 1e-2
+
+
+def test_sro_tolerance_and_per_frame_resync():
+    """Sample-rate offset (crystal mismatch, ops.impair.apply_sro — no
+    counterpart in the reference's channel model): the block receiver
+    re-syncs per frame, so the UNBOUNDED inter-frame drift is absorbed
+    and only the intra-frame drift matters. Tolerance bound: the last
+    payload window must stay within half a bin (= osr/2 samples), i.e.
+    |ppm| < 0.5e6 * osr / frame_samples — ~32 ppm for these SF9 osr=2
+    frames (30720 samples). +/-10 ppm (typical LoRa crystal spec) must
+    decode every frame of a multi-frame stream cleanly.
+
+    SF9 because all 8-bit simple-chain codewords are valid bins (at SF7
+    the aliased codewords >= 128 put the intra-symbol fold mid-window,
+    inherently fractional-delay-sensitive); osr=2 with
+    continuous_chirp=True (at osr=1 the chirp sweeps to Nyquist where
+    the resampler's linear interpolation is meaningless, and the
+    reference fold convention is osr>1-defective — see
+    test_continuous_chirp_fixes_reference_osr2_fold)."""
+    import numpy as np
+
+    from lora_phy_tpu.models import modem, stream, sync
+    from lora_phy_tpu.ops import planar
+    from lora_phy_tpu.ops.impair import apply_sro
+    from lora_phy_tpu.utils.params import LoraParams
+
+    p = LoraParams(sf=9, osr=2, continuous_chirp=True)
+    rng = np.random.RandomState(17)
+    pls = [rng.randint(0, 256, 8).astype(np.uint8) for _ in range(3)]
+    # place each frame at a sub-symbol phase of +16 samples (well inside
+    # the scan's +/- step/2 timing-correction range; a phase near step/2
+    # sits on the tau wrap boundary and missyncs even without SRO)
+    parts, pos = [], 0
+    for pl in pls:
+        gap = 800 + (16 - pos) % p.step
+        parts.append(np.zeros(gap, np.complex64))
+        pos += gap
+        fr = np.asarray(stream.frame_modulate(
+            np.asarray(modem.encode(pl), np.int32), p))
+        parts.append(fr)
+        pos += fr.size
+    parts.append(np.zeros(1500, np.complex64))
+    sig = np.concatenate(parts)
+
+    for ppm in (10.0, -10.0):
+        drifted = np.asarray(apply_sro(sig, ppm))
+        re, im = planar.split_complex(drifted)
+        blk = sync.receive_block_planar(re, im, p, 16, max_frames=4,
+                                        min_power_db=-30.0)
+        found = np.flatnonzero(np.asarray(blk.found))
+        assert len(found) == 3, (ppm, found)
+        for k, pl in zip(found, pls):
+            dec = np.asarray(modem.decode(np.asarray(blk.symbols)[k]))
+            np.testing.assert_array_equal(dec, pl, err_msg=f"ppm={ppm}")

@@ -221,3 +221,20 @@ def test_topology_runner_cli(capfd):
     assert "dropped=0" in out
 
     assert topology_runner.main([]) == 1
+
+
+def test_tx_continuous_chirp_flag(tmp_path):
+    """--continuous-chirp selects the exact-fold TX convention
+    (docs/SEMANTICS.md): bit-identical file at osr=1, different at
+    osr=2 (where the reference fold leaves a pi jump per wrap)."""
+    a, b, c = (tmp_path / n for n in ("a.iq", "b.iq", "c.iq"))
+    assert tx_runner.main(["--payload=deadbeef", f"--out={a}"]) == 0
+    assert tx_runner.main(
+        ["--payload=deadbeef", "--continuous-chirp", f"--out={b}"]) == 0
+    assert a.read_bytes() == b.read_bytes()
+    assert tx_runner.main(
+        ["--payload=deadbeef", "--osr=2", "--continuous-chirp",
+         f"--out={c}"]) == 0
+    ref = read_iq(a)
+    cont = read_iq(c)
+    assert cont.size == 2 * ref.size and not np.array_equal(cont[::2], ref)
