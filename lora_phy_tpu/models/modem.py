@@ -392,6 +392,20 @@ def compensate_offsets(samples, params: LoraParams, cfo, time_offset):
     return jnp.where(do_shift, shifted, out)
 
 
+@partial(jax.jit, static_argnames=("params",))
+def estimate_sro(samples, params: LoraParams):
+    """Sample-rate-offset (clock-drift) estimate in ppm from DECHIRPED
+    symbol windows — complex wrapper over
+    :func:`ops.planar.estimate_sro_planar` (see there for the method).
+    No reference counterpart; pairs with ``ops.impair.apply_sro`` /
+    ``compensate_sro`` to close the crystal-mismatch loop."""
+    from ..ops.planar import estimate_sro_planar
+
+    return estimate_sro_planar(
+        jnp.real(samples).astype(jnp.float32),
+        jnp.imag(samples).astype(jnp.float32), params)
+
+
 # ---------------------------------------------------------------------------
 # Integrated demodulator (quirk-compat port of phy.cpp demodulate)
 # ---------------------------------------------------------------------------

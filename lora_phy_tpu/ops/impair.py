@@ -88,3 +88,12 @@ def apply_sro(samples, ppm: float):
     a = jnp.take(samples, i0c, axis=-1)
     b = jnp.take(samples, i0c + 1, axis=-1)
     return jnp.where(valid, a * (1 - frac) + b * frac, 0.0)
+
+
+def compensate_sro(samples, ppm: float):
+    """Inverse of :func:`apply_sro`: resample at the reciprocal rate
+    ``1/(1 + ppm*1e-6)`` (the exact inverse delta ``-d/(1+d)``, not the
+    first-order ``-d``), undoing an estimated clock drift up to the
+    injector's own linear-interpolation error."""
+    d = float(ppm) * 1e-6
+    return apply_sro(samples, -d / (1.0 + d) * 1e6)

@@ -608,3 +608,59 @@ def compensate_offsets_planar(xr, xi, params: LoraParams, cfo, time_offset):
     flat_start = jnp.broadcast_to(start.reshape(-1), (flat_r.shape[0],))
     sr, si = jax.vmap(shift_one)(flat_r, flat_i, flat_start)
     return sr.reshape(yr.shape), si.reshape(yi.shape)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def estimate_sro_planar(xr, xi, params: LoraParams):
+    """Sample-rate-offset (TX/RX clock mismatch) estimate from dechirped
+    symbol windows [..., S*step] -> drift in ppm, [...]-shaped.
+
+    No reference counterpart (its channel model stops at CFO + integer
+    shift + AWGN; real crystals drift 10-20 ppm). Decode-directed and
+    data-blind: under a relative clock offset ``d = ppm*1e-6`` the
+    dechirped tone of symbol ``s`` sits at a fractional bin that drifts
+    linearly, ``d * s * N * scale`` bins — independent of the symbol
+    VALUE (which only moves the integer bin) and of any constant CFO
+    (which cancels in first differences). The estimator measures each
+    window's fractional bin with the sinc-ratio form
+    ``delta = right/(peak+right)`` (exact for a Dirichlet tone, unlike
+    magnitude-parabolic interpolation whose small-offset bias would
+    scale the slope by ~3x), wraps first differences to [-1/2, 1/2) so
+    integer-bin hops cancel, and averages.
+
+    Windows are decimated at the phase where the tone is exact: 0 for
+    ``continuous_chirp`` TX, ``osr-1`` under the reference fold (whose
+    one-sample-early fold skews the waveform by one sample — see
+    docs/SEMANTICS.md; at the wrong phase the tone is a two-component
+    superposition and any interpolator breaks). Gather-free: all
+    per-bin picks are one-hot masked reductions."""
+    n, osr = params.n, params.osr
+    phase = 0 if (params.continuous_chirp or osr == 1) else osr - 1
+    lead = xr.shape[:-1]
+    s = xr.shape[-1] // (n * osr)
+
+    def view(a):
+        return a[..., : s * n * osr].reshape(*lead, s, n, osr)[..., phase]
+
+    sr, si = dft_planar(view(xr), view(xi), n)
+    mag2 = sr * sr + si * si                                  # [..., S, N]
+    index = jnp.argmax(mag2, axis=-1).astype(jnp.int32)
+    k = jnp.arange(n, dtype=jnp.int32)
+    peak = jnp.sqrt(jnp.max(mag2, axis=-1))
+    left_ix = jnp.where(index > 0, index - 1, n - 1)[..., None]
+    right_ix = jnp.where(index < n - 1, index + 1, 0)[..., None]
+
+    def mag_at(j):
+        return jnp.sqrt(jnp.sum(jnp.where(k == j, mag2, 0.0), axis=-1))
+
+    left, right = mag_at(left_ix), mag_at(right_ix)
+    den_r, den_l = peak + right, peak + left
+    fi = jnp.where(
+        right >= left,
+        jnp.where(den_r > 0.0, right / jnp.where(den_r > 0.0, den_r, 1.0), 0.0),
+        -left / jnp.where(den_l > 0.0, den_l, 1.0),
+    )                                                          # [..., S]
+    dd = fi[..., 1:] - fi[..., :-1]
+    dd = jnp.mod(dd + 0.5, 1.0) - 0.5
+    slope = jnp.mean(dd, axis=-1)                              # bins/symbol
+    return (1e6 * slope / jnp.float32(n * params.scale)).astype(jnp.float32)

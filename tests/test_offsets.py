@@ -209,3 +209,58 @@ def test_sro_tolerance_and_per_frame_resync():
         for k, pl in zip(found, pls):
             dec = np.asarray(modem.decode(np.asarray(blk.symbols)[k]))
             np.testing.assert_array_equal(dec, pl, err_msg=f"ppm={ppm}")
+
+
+@pytest.mark.parametrize("sf,osr,cont,ppm", [
+    (9, 2, True, 30.0), (9, 2, True, -30.0),
+    (9, 2, False, 30.0),          # reference fold -> phase osr-1 track
+    (10, 4, True, -30.0),
+    (9, 1, True, 60.0),
+    (12, 2, True, 10.0),
+])
+def test_estimate_sro_accuracy(sf, osr, cont, ppm):
+    """Decode-directed SRO estimator (planar.estimate_sro_planar /
+    modem.estimate_sro — no reference counterpart): estimate within 15%
+    of the injected drift, data-blind, for both TX fold conventions."""
+    from lora_phy_tpu.ops import planar
+    from lora_phy_tpu.ops.impair import apply_sro
+
+    p = LoraParams(sf=sf, osr=osr, continuous_chirp=cont)
+    rng = np.random.RandomState(3)
+    payload = rng.randint(0, 256, 16).astype(np.uint8)
+    iq = np.asarray(modem.modulate(modem.encode(payload), p))
+    dech = modem.dechirp(apply_sro(iq, ppm), p)
+    est = float(modem.estimate_sro(dech, p))
+    assert abs(est - ppm) < 0.15 * abs(ppm), (est, ppm)
+    # planar twin gets the identical number from split planes
+    re, im = planar.split_complex(np.asarray(dech))
+    est_p = float(planar.estimate_sro_planar(re, im, p))
+    np.testing.assert_allclose(est_p, est, rtol=1e-5)
+    # and a clean channel estimates ~0
+    clean = modem.dechirp(iq, p)
+    assert abs(float(modem.estimate_sro(clean, p))) < 0.5
+
+
+def test_sro_closed_loop_compensation():
+    """estimate_sro + compensate_sro close the crystal-mismatch loop:
+    +/-60 ppm is ~2x beyond the SF9 no-tracking tolerance (~32 ppm —
+    see test_sro_tolerance_and_per_frame_resync) and corrupts symbols;
+    one estimate/compensate round restores an exact decode."""
+    from lora_phy_tpu.ops.impair import apply_sro, compensate_sro
+
+    p = LoraParams(sf=9, osr=2, continuous_chirp=True)
+    rng = np.random.RandomState(5)
+    payload = rng.randint(0, 256, 16).astype(np.uint8)
+    syms = np.asarray(modem.encode(payload), np.int32)
+    iq = np.asarray(modem.modulate(syms, p))
+
+    for ppm in (60.0, -60.0):
+        drifted = np.asarray(apply_sro(iq, ppm))
+        raw = np.asarray(modem.demodulate(modem.dechirp(drifted, p), p).symbols)
+        assert (raw != syms).sum() > 0, "60 ppm should corrupt w/o tracking"
+        est = float(modem.estimate_sro(modem.dechirp(drifted, p), p))
+        fixed = modem.dechirp(compensate_sro(drifted, est), p)
+        out = np.asarray(modem.demodulate(fixed, p).symbols)
+        np.testing.assert_array_equal(out, syms, err_msg=f"ppm={ppm}")
+        dec = np.asarray(modem.decode(out))
+        np.testing.assert_array_equal(dec, payload)
