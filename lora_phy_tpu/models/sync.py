@@ -196,6 +196,7 @@ class BlockFrames(NamedTuple):
     cfo: jnp.ndarray        # [..., K] float32 residual (fractional) CFO
     time_offset: jnp.ndarray  # [..., K] float32
     snr_db: jnp.ndarray     # [..., K] float32 mean payload peak/noise (dB)
+    sro_ppm: jnp.ndarray    # [..., K] float32 clock-drift estimate (ppm)
 
 
 def _kth_valid(valid, k_max: int):
@@ -313,8 +314,16 @@ def receive_block_planar(xr, xi, params: LoraParams,
     snr_db = 10.0 * jnp.log10(
         jnp.mean(peak, axis=-1) / jnp.maximum(jnp.mean(noise, axis=-1), 1e-30)
     )
+    # per-frame clock-drift observable over the CONTIGUOUS payload
+    # section only (the sliced window skips the 2.25 downchirps, so a
+    # sync->payload first difference would cross a time gap)
+    from ..ops.planar import estimate_sro_planar
+
+    sro_ppm = estimate_sro_planar(yr[..., pre_len + 2 * step:],
+                                  yi[..., pre_len + 2 * step:], params)
     return BlockFrames(found, start, cfo_bins, syms, sync_word,
-                       cfo, time_offset, snr_db.astype(jnp.float32))
+                       cfo, time_offset, snr_db.astype(jnp.float32),
+                       sro_ppm)
 
 
 def receive_blind_planar(xr, xi, base_params: LoraParams,
@@ -373,6 +382,7 @@ def blind_frames(results) -> list[dict]:
                 "sync": int(np.asarray(blk.sync)[idx]),
                 "cfo_bins": int(np.asarray(blk.cfo_bins)[idx]),
                 "snr_db": float(np.asarray(blk.snr_db)[idx]),
+                "sro_ppm": float(np.asarray(blk.sro_ppm)[idx]),
                 "symbols": np.asarray(blk.symbols)[idx],
             })
     rows.sort(key=lambda r: (r["index"], r["start"], r["sf"]))

@@ -133,6 +133,7 @@ def main(argv=None) -> int:
               f"sync=0x{int(np.asarray(blk.sync)[k]):02x} "
               f"cfo_bins={int(np.asarray(blk.cfo_bins)[k])} "
               f"snr={float(np.asarray(blk.snr_db)[k]):.1f}dB "
+              f"sro={float(np.asarray(blk.sro_ppm)[k]):+.1f}ppm "
               f"payload={payload.hex()}", flush=True)
 
     def process(buf_re, buf_im, buf_base):
@@ -156,6 +157,7 @@ def main(argv=None) -> int:
                             start=blk.start[chan], symbols=blk.symbols[chan],
                             sync=blk.sync[chan], cfo_bins=blk.cfo_bins[chan],
                             snr_db=blk.snr_db[chan],
+                            sro_ppm=blk.sro_ppm[chan],
                         ), p, chan, buf_base, k)
             else:
                 blk = sync.receive_block_planar(

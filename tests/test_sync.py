@@ -317,3 +317,45 @@ def test_blind_sf_rejects_noise_and_skips_short_sfs():
                                     sfs=(7, 8, 9, 12))
     assert 12 not in res                        # 9000 < (8+4)*4096
     assert sync.blind_frames(res) == []
+
+
+def test_block_frames_sro_observable():
+    """receive_block_planar reports a per-frame clock-drift estimate
+    (sro_ppm, from the contiguous payload section): ~0 on a clean frame,
+    ~the injected drift under SRO, for both osr 1 and 2."""
+    from lora_phy_tpu.ops.impair import apply_sro, compensate_sro
+
+    rng = np.random.RandomState(11)
+    payload = rng.randint(0, 256, 8).astype(np.uint8)
+    # osr=2 uses the exact (continuous-chirp) fold: under the reference
+    # fold's pi discontinuity the double linear resample (inject +
+    # compensate) leaves boundary symbols slipping +/-1 bin
+    for osr, cont, ppm in ((1, False, 40.0), (2, True, -40.0)):
+        p = LoraParams(sf=7, osr=osr, continuous_chirp=cont)
+        syms = np.asarray(modem.encode(payload), np.int32)
+        fr = np.asarray(stream.frame_modulate(syms, p))
+        sig = np.concatenate([np.zeros(5 * p.step, np.complex64), fr,
+                              np.zeros(5 * p.step, np.complex64)])
+
+        def receive(x):
+            re, im = planar.split_complex(np.asarray(x, np.complex64))
+            blk = sync.receive_block_planar(re, im, p, syms.shape[-1],
+                                            max_frames=1)
+            assert bool(np.asarray(blk.found)[0])
+            return blk
+
+        clean = receive(sig)
+        assert abs(float(np.asarray(clean.sro_ppm)[0])) < 1.0, (osr, ppm)
+        np.testing.assert_array_equal(
+            np.asarray(modem.decode(np.asarray(clean.symbols)[0])), payload)
+        drifted_iq = np.asarray(apply_sro(sig, ppm), np.complex64)
+        drifted = receive(drifted_iq)
+        est = float(np.asarray(drifted.sro_ppm)[0])
+        assert abs(est - ppm) < 0.25 * abs(ppm), (osr, ppm, est)
+        # closed loop: compensating the stream with the frame's own
+        # estimate restores an exact decode (40 ppm corrupts raw symbols
+        # at SF7 — bin slips on top of the >=128 codeword aliasing
+        # exceed Hamming's single-bit correction)
+        fixed = receive(compensate_sro(drifted_iq, est))
+        dec = np.asarray(modem.decode(np.asarray(fixed.symbols)[0]))
+        np.testing.assert_array_equal(dec, payload, err_msg=f"{osr},{ppm}")
