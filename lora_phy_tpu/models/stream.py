@@ -75,6 +75,41 @@ def frame_modulate(symbols, params: LoraParams, preamble_len: int = 8,
     )
 
 
+def frame_modulate_planar(symbols, params: LoraParams, preamble_len: int = 8,
+                          amplitude: float = 1.0):
+    """Planar (re, im float32) twin of :func:`frame_modulate` — the full
+    frame synthesizer on complex-free TPU backends. Planes are bit-exact
+    with ``split_complex(frame_modulate(...))`` (same lattice modulator,
+    same float64 host oracle for the 2.25-symbol downchirp).
+
+    [..., S] symbols -> ((re, im) each [..., overhead + S*step] float32).
+    """
+    from ..ops.chirp import gen_chirp_np, modulate_symbols_planar
+
+    symbols = jnp.asarray(symbols)
+    step = params.step
+    zeros = jnp.zeros(symbols.shape[:-1] + (preamble_len,), jnp.int32)
+    br, bi = modulate_symbols_planar(
+        symbols, params.sf, params.osr, params.scale, amplitude,
+        params.sync_word, params.continuous_chirp)
+    pr, pi = modulate_symbols_planar(
+        zeros[..., 2:], params.sf, params.osr, params.scale, amplitude,
+        0x00, params.continuous_chirp)
+    down_c, _ = gen_chirp_np(
+        params.n, params.osr, 2 * step + step // QUARTER_DEN, 0.0,
+        down=True, ampl=amplitude, bw_scale=params.scale,
+    )
+    out = []
+    for body, pre, down in ((br, pr, down_c.real), (bi, pi, down_c.imag)):
+        d = jnp.broadcast_to(jnp.asarray(down.astype(np.float32)),
+                             symbols.shape[:-1] + down.shape)
+        out.append(jnp.concatenate(
+            [pre[..., : preamble_len * step], body[..., : 2 * step], d,
+             body[..., 2 * step:]], axis=-1,
+        ))
+    return tuple(out)
+
+
 class FrameSyncResult(NamedTuple):
     found: bool
     start: int            # sample index of the frame's first preamble sample

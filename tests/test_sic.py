@@ -1,0 +1,158 @@
+"""Colliding-frame receive via successive interference cancellation
+(models/sic.py) — a capability with no upstream counterpart (the
+reference demodulates one frame-aligned buffer, src/phy/LoRaDemod.cpp:31-57;
+a collision simply loses the weaker frame)."""
+
+import numpy as np
+import pytest
+
+from lora_phy_tpu.models import modem, sic, stream, sync
+from lora_phy_tpu.ops import planar
+from lora_phy_tpu.ops.impair import apply_cfo_continuous
+from lora_phy_tpu.utils.params import LoraParams
+
+
+def _frame(p, payload, amplitude=1.0, preamble_len=8):
+    syms = modem.encode(payload)
+    return np.asarray(stream.frame_modulate(syms, p, preamble_len,
+                                            amplitude=amplitude))
+
+
+def _place(frames_and_offsets, total):
+    out = np.zeros(total, np.complex64)
+    for iq, off in frames_and_offsets:
+        out[off: off + iq.size] += iq
+    return out
+
+
+@pytest.mark.parametrize("sf,osr,sync_word", [(7, 1, 0x12), (8, 2, 0x34)])
+def test_frame_modulate_planar_matches_complex(sf, osr, sync_word):
+    p = LoraParams(sf=sf, osr=osr, sync_word=sync_word)
+    rng = np.random.RandomState(0)
+    syms = rng.randint(0, p.n, 10).astype(np.int32)
+    ref_re, ref_im = planar.split_complex(
+        stream.frame_modulate(syms, p, amplitude=0.5))
+    got_re, got_im = stream.frame_modulate_planar(syms, p, amplitude=0.5)
+    np.testing.assert_array_equal(np.asarray(got_re), ref_re)
+    np.testing.assert_array_equal(np.asarray(got_im), ref_im)
+
+
+def test_single_frame_cancellation_depth():
+    """Decision-directed reconstruction of a clean frame cancels to the
+    float32 floor (way below -40 dB) and reports the gain it fitted."""
+    p = LoraParams(sf=7)
+    rng = np.random.RandomState(1)
+    payload = rng.randint(0, 256, 6).astype(np.uint8)
+    iq = _frame(p, payload, amplitude=0.7)
+    s = _place([(iq, 3 * p.step)], iq.size + 6 * p.step)
+
+    re, im = planar.split_complex(s)
+    frames, (rr, ri) = sic.receive_sic_planar(re, im, p, payload.size * 2)
+    assert len(frames) == 1
+    f = frames[0]
+    assert f["start"] == 3 * p.step
+    np.testing.assert_array_equal(
+        np.asarray(modem.decode(f["symbols"])), payload)
+    assert f["cancel_resid_db"] < -40.0
+    # fitted complex gain ~ TX amplitude (phase reference is the lattice
+    # modulator's own, so the gain is ~real-positive here)
+    g = complex(*f["gain"])
+    assert abs(abs(g) - 0.7) < 1e-3
+    # residual stream is empty: nothing above the detection floor (the
+    # numerical residue still has chirp structure, hence the power gate —
+    # the same -30 dB the receive loop itself uses)
+    assert not np.asarray(
+        sync.frame_sync_scan_planar(rr, ri, p,
+                                    min_power_db=-30.0).valid).any()
+
+
+def test_collision_recovers_weak_frame():
+    """Two same-SF frames, 12 dB apart, payloads overlapping: the plain
+    block receiver never even syncs on the weak frame (the strong payload
+    destroys its preamble's equal-bin run); SIC peels the strong frame and
+    decodes the weak one exactly."""
+    p = LoraParams(sf=7)
+    rng = np.random.RandomState(2)
+    pay_a = rng.randint(0, 256, 6).astype(np.uint8)
+    pay_b = rng.randint(0, 256, 6).astype(np.uint8)
+    fa = _frame(p, pay_a, amplitude=1.0)
+    fb = _frame(p, pay_b, amplitude=0.25)
+    off_a, off_b = 2 * p.step, 2 * p.step + 5 * p.step
+    s = _place([(fa, off_a), (fb, off_b)], fb.size + off_b + 4 * p.step)
+    re, im = planar.split_complex(s)
+
+    # the collision really is destructive: one pass sees only the strong
+    # frame (or mis-decodes the weak one)
+    blk = sync.receive_block_planar(re, im, p, pay_b.size * 2)
+    one_pass = {int(st): np.asarray(blk.symbols)[k]
+                for k, st in enumerate(np.asarray(blk.start))
+                if np.asarray(blk.found)[k]}
+    weak_clean_first_pass = off_b in one_pass and np.array_equal(
+        np.asarray(modem.decode(one_pass[off_b])), pay_b)
+    assert not weak_clean_first_pass
+
+    frames, _ = sic.receive_sic_planar(re, im, p, pay_b.size * 2)
+    assert [f["start"] for f in frames] == [off_a, off_b]
+    strong, weak = frames
+    np.testing.assert_array_equal(
+        np.asarray(modem.decode(strong["symbols"])), pay_a)
+    np.testing.assert_array_equal(
+        np.asarray(modem.decode(weak["symbols"])), pay_b)
+    assert strong["sic_pass"] == 0 and weak["sic_pass"] == 1
+    # fitted channel gains recover the TX amplitudes (the SNR observable
+    # would NOT order them: the strong frame is measured with the weak one
+    # still underneath it, the weak one after cancellation, clean). The
+    # strong fit is a few % off: the weak frame is same-family chirps, and
+    # shifted chirps are only near-orthogonal, so its overlap leaks into
+    # the LS projection. The weak fit happens on a cancelled stream.
+    assert abs(abs(complex(*strong["gain"])) - 1.0) < 0.1
+    assert abs(abs(complex(*weak["gain"])) - 0.25) < 0.02
+    # post-cancel residual over the strong span IS the weak frame (0.25
+    # amplitude over the overlap ~ -13 dB) — the observable shows it
+    assert -16.0 < strong["cancel_resid_db"] < -10.0
+
+
+def test_collision_with_cfo_on_strong_frame():
+    """The strong transmitter has a fractional CFO (2.3 bins): the
+    estimate-directed reconstruction still cancels deep enough to free the
+    weak frame."""
+    p = LoraParams(sf=7)
+    rng = np.random.RandomState(3)
+    pay_a = rng.randint(0, 256, 6).astype(np.uint8)
+    pay_b = rng.randint(0, 256, 6).astype(np.uint8)
+    fa = np.asarray(apply_cfo_continuous(
+        _frame(p, pay_a, amplitude=1.0), 2.3, p.n, p.osr))
+    fb = _frame(p, pay_b, amplitude=0.3)
+    off_a, off_b = 2 * p.step, 2 * p.step + 6 * p.step
+    s = _place([(fa, off_a), (fb, off_b)], fb.size + off_b + 4 * p.step)
+
+    re, im = planar.split_complex(s)
+    frames, _ = sic.receive_sic_planar(re, im, p, pay_b.size * 2)
+    assert [f["start"] for f in frames] == [off_a, off_b]
+    assert frames[0]["cfo_bins"] == 2
+    np.testing.assert_array_equal(
+        np.asarray(modem.decode(frames[0]["symbols"])), pay_a)
+    np.testing.assert_array_equal(
+        np.asarray(modem.decode(frames[1]["symbols"])), pay_b)
+
+
+def test_disjoint_frames_both_found_first_pass():
+    """Non-overlapping frames: SIC degrades gracefully to the plain block
+    receiver's answer (both found, peeled in power order)."""
+    p = LoraParams(sf=7)
+    rng = np.random.RandomState(4)
+    pay_a = rng.randint(0, 256, 4).astype(np.uint8)
+    pay_b = rng.randint(0, 256, 4).astype(np.uint8)
+    fa = _frame(p, pay_a, amplitude=0.9)
+    fb = _frame(p, pay_b, amplitude=0.5)
+    off_a = p.step
+    off_b = off_a + fa.size + 3 * p.step
+    s = _place([(fa, off_a), (fb, off_b)], off_b + fb.size + 3 * p.step)
+
+    re, im = planar.split_complex(s)
+    frames, _ = sic.receive_sic_planar(re, im, p, pay_a.size * 2)
+    assert [f["start"] for f in frames] == [off_a, off_b]
+    np.testing.assert_array_equal(
+        np.asarray(modem.decode(frames[0]["symbols"])), pay_a)
+    np.testing.assert_array_equal(
+        np.asarray(modem.decode(frames[1]["symbols"])), pay_b)
