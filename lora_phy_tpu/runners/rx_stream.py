@@ -17,12 +17,15 @@ one jit compilation for the whole run. ``--checkpoint=PATH`` persists the
 carry/position/dedupe state across invocations (resume mid-stream).
 ``--sf=auto`` runs blind spreading-factor detection: the same buffer is
 scanned at SF7-12 (models/sync.receive_blind_planar) and each frame line
-carries its detected ``sf=N``.
+carries its detected ``sf=N``. ``--sic`` switches the fixed-SF
+single-channel path to the collision receiver (models/sic.py):
+overlapping same-SF frames are peeled in power order and each line
+carries its ``sic=PASS``.
 
 Flags: ``--in=FILE|-`` ``--sf=N|auto`` ``--cr`` ``--bw`` ``--osr`` ``--sync``
 ``--format=cf32|ci16|ci8`` ``--scale`` ``--payload-len=BYTES``
 ``--block=SAMPLES`` ``--max-frames=K`` ``--thresh=DB``
-``--checkpoint=PATH`` ``--quiet``
+``--checkpoint=PATH`` ``--sic`` ``--quiet``
 """
 
 from __future__ import annotations
@@ -56,9 +59,14 @@ def main(argv=None) -> int:
         "quiet": (None, False),
         "channels": (int, 0),
         "any-sync": (None, False),
+        "sic": (None, False),
     })
     if flags["format"] not in _FORMATS:
         print(f"Unknown --format={flags['format']}", file=sys.stderr)
+        return 1
+    if flags["sic"] and (flags["channels"] or flags["sf"] == "auto"):
+        print("--sic requires a fixed --sf and a single channel",
+              file=sys.stderr)
         return 1
     import dataclasses
 
@@ -74,6 +82,7 @@ def main(argv=None) -> int:
 
     from .. import runtime
     from ..models import modem, stream, sync
+    from ..models import sic as sic_model
 
     dtype, bytes_per_sample = _FORMATS[flags["format"]]
     n_payload_symbols = flags["payload-len"] * 2      # simple Hamming84 chain
@@ -106,35 +115,46 @@ def main(argv=None) -> int:
     src = (sys.stdin.buffer if flags["in"] in ("", "-")
            else open(flags["in"], "rb"))
 
-    def report(blk, p, chan, buf_base, k):
+    def report(row, p, chan, buf_base):
         nonlocal n_frames
-        sync_word = int(np.asarray(blk.sync)[k])
-        if not flags["any-sync"] and sync_word != p.sync_word:
+        if not flags["any-sync"] and row["sync"] != p.sync_word:
             # the sync word is the network filter (the Pothos demod's
             # ``sync`` property): rejects transition-band chirp leakage
             # that picks up a bogus sync on quiet channels
             return
         # abs position in WIDEBAND samples (channel streams run at 1/K
         # rate; the analysis bank aligns channel frame m to input m*K)
-        abs_start = buf_base + int(np.asarray(blk.start)[k]) * rate
+        abs_start = buf_base + row["start"] * rate
         # overlap re-detections and bin-jitter run splits can move the
         # candidate a few samples: same-channel starts within half a
-        # frame are the same frame
-        near = frame_lens[p.sf] * rate // 2
+        # frame are the same frame. Under --sic overlapping frames are
+        # the point — only a symbol of jitter is the same frame there.
+        near = (p.step if flags["sic"] else frame_lens[p.sf] // 2) * rate
         if any(f == p.sf and c == chan and abs(s - abs_start) < near
                for f, c, s in reported):
             return
         reported.add((p.sf, chan, abs_start))
         n_frames += 1
-        payload = np.asarray(modem.decode(np.asarray(blk.symbols)[k])).tobytes()
+        payload = np.asarray(modem.decode(row["symbols"])).tobytes()
         ch = f"ch={chan} " if kch else ""
         sf_tag = f"sf={p.sf} " if blind else ""
+        sic_tag = (f"sic={row['sic_pass']} " if "sic_pass" in row else "")
         print(f"frame {ch}{sf_tag}@{abs_start} "
-              f"sync=0x{int(np.asarray(blk.sync)[k]):02x} "
-              f"cfo_bins={int(np.asarray(blk.cfo_bins)[k])} "
-              f"snr={float(np.asarray(blk.snr_db)[k]):.1f}dB "
-              f"sro={float(np.asarray(blk.sro_ppm)[k]):+.1f}ppm "
-              f"payload={payload.hex()}", flush=True)
+              f"sync=0x{row['sync']:02x} "
+              f"cfo_bins={row['cfo_bins']} "
+              f"snr={row['snr_db']:.1f}dB "
+              f"sro={row['sro_ppm']:+.1f}ppm "
+              f"{sic_tag}payload={payload.hex()}", flush=True)
+
+    def _row(blk, k):
+        return {
+            "sync": int(np.asarray(blk.sync)[k]),
+            "start": int(np.asarray(blk.start)[k]),
+            "cfo_bins": int(np.asarray(blk.cfo_bins)[k]),
+            "snr_db": float(np.asarray(blk.snr_db)[k]),
+            "sro_ppm": float(np.asarray(blk.sro_ppm)[k]),
+            "symbols": np.asarray(blk.symbols)[k],
+        }
 
     def process(buf_re, buf_im, buf_base):
         for p in params_by_sf:
@@ -152,13 +172,26 @@ def main(argv=None) -> int:
                 )
                 found = np.asarray(blk.found)              # [K, max]
                 for chan in range(kch):
+                    sub = blk._replace(
+                        found=blk.found[chan],
+                        start=blk.start[chan], symbols=blk.symbols[chan],
+                        sync=blk.sync[chan], cfo_bins=blk.cfo_bins[chan],
+                        snr_db=blk.snr_db[chan], sro_ppm=blk.sro_ppm[chan],
+                    )
                     for k in np.flatnonzero(found[chan]):
-                        report(blk._replace(
-                            start=blk.start[chan], symbols=blk.symbols[chan],
-                            sync=blk.sync[chan], cfo_bins=blk.cfo_bins[chan],
-                            snr_db=blk.snr_db[chan],
-                            sro_ppm=blk.sro_ppm[chan],
-                        ), p, chan, buf_base, k)
+                        report(_row(sub, k), p, chan, buf_base)
+            elif flags["sic"]:
+                # collision receive: peel frames in power order (exact-TX
+                # resynthesis + LS gain fit + subtract, models/sic.py) so
+                # overlapping same-SF frames all decode
+                rows, _ = sic_model.receive_sic_planar(
+                    buf_re, buf_im, p, n_payload_symbols,
+                    max_frames=flags["max-frames"],
+                    min_power_db=flags["thresh"],
+                    max_iters=flags["max-frames"],
+                )
+                for row in rows:
+                    report(row, p, 0, buf_base)
             else:
                 blk = sync.receive_block_planar(
                     buf_re, buf_im, p, n_payload_symbols,
@@ -166,7 +199,7 @@ def main(argv=None) -> int:
                     min_power_db=flags["thresh"],
                 )
                 for k in np.flatnonzero(np.asarray(blk.found)):
-                    report(blk, p, 0, buf_base, k)
+                    report(_row(blk, k), p, 0, buf_base)
 
     try:
         while True:

@@ -210,3 +210,42 @@ def test_rx_stream_blind_sf(tmp_path, capfd):
     for sf in (7, 9):
         assert got[sf][0] == starts[sf]
         assert got[sf][1] == pls[sf].tobytes().hex()
+
+
+def test_rx_stream_sic_collision(tmp_path, capfd):
+    """--sic: two overlapping same-SF frames (12 dB apart) both decode;
+    the plain receiver on the same file loses the weak one."""
+    p = LoraParams(sf=7)
+    rng = np.random.RandomState(11)
+    pay_a = rng.randint(0, 256, 8).astype(np.uint8)
+    pay_b = rng.randint(0, 256, 8).astype(np.uint8)
+    fa = np.asarray(stream.frame_modulate(np.asarray(modem.encode(pay_a)), p))
+    fb = 0.25 * np.asarray(
+        stream.frame_modulate(np.asarray(modem.encode(pay_b)), p))
+    off_a, off_b = 2 * p.step, 2 * p.step + 5 * p.step
+    sig = np.zeros(off_b + fb.size + 6 * p.step, np.complex64)
+    sig[off_a: off_a + fa.size] += fa.astype(np.complex64)
+    sig[off_b: off_b + fb.size] += fb.astype(np.complex64)
+    path = tmp_path / "collision.iq"
+    path.write_bytes(_interleave(sig))
+
+    args = [f"--in={path}", "--sf=7", "--payload-len=8"]
+    assert rx_stream.main(args) == 0
+    plain, _ = capfd.readouterr()
+    assert f"payload={pay_b.tobytes().hex()}" not in plain
+
+    assert rx_stream.main(args + ["--sic"]) == 0
+    out, err = capfd.readouterr()
+    lines = [l for l in out.splitlines() if l.startswith("frame @")]
+    assert len(lines) == 2 and "2 frames" in err
+    assert f"@{off_a} " in lines[0] and "sic=0" in lines[0]
+    assert f"payload={pay_a.tobytes().hex()}" in lines[0]
+    assert f"@{off_b} " in lines[1] and "sic=1" in lines[1]
+    assert f"payload={pay_b.tobytes().hex()}" in lines[1]
+
+
+def test_rx_stream_sic_flag_conflicts(capfd):
+    assert rx_stream.main(["--sic", "--channels=4"]) == 1
+    assert rx_stream.main(["--sic", "--sf=auto"]) == 1
+    _, err = capfd.readouterr()
+    assert err.count("--sic requires") == 2
