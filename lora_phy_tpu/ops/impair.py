@@ -97,3 +97,57 @@ def compensate_sro(samples, ppm: float):
     injector's own linear-interpolation error."""
     d = float(ppm) * 1e-6
     return apply_sro(samples, -d / (1.0 + d) * 1e6)
+
+
+def apply_multipath(samples, taps):
+    """Frequency-selective multipath channel: ``y[t] = sum_k h[k] x[t-k]``
+    with complex taps at integer sample delays (tap 0 = line of sight).
+    The reference's channel model is CFO + integer shift + AWGN only; a
+    real deployment sees echoes. Causal, output length = input length
+    (leading edge sees zeros). ``taps``: 1-D complex array, kept small
+    (an urban LoRa delay spread of a few us is a few samples at 125-500
+    kHz rates) — implemented as a sum of shifted scaled copies, which
+    XLA fuses into one pass for the tap counts this models."""
+    taps = jnp.asarray(taps)
+    out = taps[0] * samples
+    for k in range(1, int(taps.shape[0])):
+        shifted = jnp.pad(
+            samples, [(0, 0)] * (samples.ndim - 1) + [(k, 0)]
+        )[..., : samples.shape[-1]]
+        out = out + taps[k] * shifted
+    return out
+
+
+def apply_multipath_planar(xr, xi, taps_re, taps_im):
+    """Planar float32 twin of :func:`apply_multipath` (same math on
+    (re, im) planes — runs on complex-free TPU backends)."""
+    taps_re = jnp.asarray(taps_re, jnp.float32)
+    taps_im = jnp.asarray(taps_im, jnp.float32)
+    yr = taps_re[0] * xr - taps_im[0] * xi
+    yi = taps_re[0] * xi + taps_im[0] * xr
+    for k in range(1, int(taps_re.shape[0])):
+        pad = [(0, 0)] * (xr.ndim - 1) + [(k, 0)]
+        sr = jnp.pad(xr, pad)[..., : xr.shape[-1]]
+        si = jnp.pad(xi, pad)[..., : xi.shape[-1]]
+        yr = yr + taps_re[k] * sr - taps_im[k] * si
+        yi = yi + taps_re[k] * si + taps_im[k] * sr
+    return yr, yi
+
+
+def rayleigh_taps(key, delays, pdp_db):
+    """Random Rayleigh multipath taps on integer sample ``delays`` with a
+    power-delay profile ``pdp_db`` (dB, same length), normalized to unit
+    total power: the standard wide-sense-stationary uncorrelated-scatter
+    draw (each tap CN(0, p_k)). Returns a dense complex tap vector of
+    length ``max(delays)+1`` for :func:`apply_multipath`."""
+    delays = tuple(int(d) for d in delays)
+    p = 10.0 ** (jnp.asarray(pdp_db, jnp.float32) / 10.0)
+    p = p / jnp.sum(p)
+    kr, ki = jax.random.split(key)
+    shape = (len(delays),)
+    g = jax.lax.complex(
+        jax.random.normal(kr, shape, jnp.float32),
+        jax.random.normal(ki, shape, jnp.float32),
+    ) * jnp.sqrt(p / 2.0)
+    taps = jnp.zeros(max(delays) + 1, jnp.complex64)
+    return taps.at[jnp.asarray(delays)].add(g)

@@ -264,3 +264,86 @@ def test_sro_closed_loop_compensation():
         np.testing.assert_array_equal(out, syms, err_msg=f"ppm={ppm}")
         dec = np.asarray(modem.decode(out))
         np.testing.assert_array_equal(dec, payload)
+
+
+# --- multipath channel (no reference counterpart: its model is CFO +
+# integer shift + AWGN only, lora_phy_vector_generate.cpp:88-124) -------
+
+
+def test_multipath_planar_matches_complex():
+    from lora_phy_tpu.ops.impair import apply_multipath, apply_multipath_planar
+
+    rng = np.random.RandomState(5)
+    x = (rng.randn(2, 300) + 1j * rng.randn(2, 300)).astype(np.complex64)
+    taps = np.array([0.8, 0, 0.4 - 0.3j, 0.1j], np.complex64)
+    ref = np.asarray(apply_multipath(x, taps))
+    yr, yi = apply_multipath_planar(
+        x.real.astype(np.float32), x.imag.astype(np.float32),
+        taps.real.astype(np.float32), taps.imag.astype(np.float32))
+    np.testing.assert_allclose(np.asarray(yr), ref.real, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(yi), ref.imag, atol=1e-5)
+    # causality: first output sample is tap0 * first input only
+    np.testing.assert_allclose(ref[:, 0], 0.8 * x[:, 0], atol=1e-6)
+
+
+def test_demod_survives_two_ray_multipath():
+    """A strong echo (-6 dB, 3-sample excess delay — a severe outdoor
+    profile at 125 kHz) leaves every symbol decision intact: CSS tones
+    stay tones under LTI channels, each bin just picks up H(f)."""
+    from lora_phy_tpu.models import stream, sync
+    from lora_phy_tpu.ops import planar
+    from lora_phy_tpu.ops.impair import apply_multipath
+
+    p = LoraParams(sf=7)
+    rng = np.random.RandomState(6)
+    payload = rng.randint(0, 256, 16).astype(np.uint8)
+    syms = np.asarray(modem.encode(payload), np.int32)
+    frame = np.asarray(stream.frame_modulate(syms, p))
+    sig = np.zeros(frame.size + 6 * p.step, np.complex64)
+    sig[2 * p.step: 2 * p.step + frame.size] = frame
+    taps = np.array([1.0, 0, 0, 0.5 * np.exp(1j * 2.1)], np.complex64)
+    y = np.asarray(apply_multipath(sig, taps))
+
+    re, im = planar.split_complex(y)
+    blk = sync.receive_block_planar(re, im, p, payload.size * 2)
+    found = np.flatnonzero(np.asarray(blk.found))
+    assert found.size == 1
+    k = int(found[0])
+    np.testing.assert_array_equal(
+        np.asarray(modem.decode(np.asarray(blk.symbols)[k])), payload)
+
+
+def test_rayleigh_ensemble_mostly_decodes():
+    """Random Rayleigh draws on an exponential power-delay profile:
+    most channel realisations decode (deep flat fades cost the rest —
+    at 20 dB SNR the failures are the faded-draw tail, not the demod)."""
+    from lora_phy_tpu.models import stream, sync
+    from lora_phy_tpu.ops import planar
+    from lora_phy_tpu.ops.impair import apply_awgn, apply_multipath, rayleigh_taps
+
+    p = LoraParams(sf=7)
+    rng = np.random.RandomState(7)
+    payload = rng.randint(0, 256, 8).astype(np.uint8)
+    syms = np.asarray(modem.encode(payload), np.int32)
+    frame = np.asarray(stream.frame_modulate(syms, p))
+    sig = np.zeros(frame.size + 6 * p.step, np.complex64)
+    sig[2 * p.step: 2 * p.step + frame.size] = frame
+
+    ok = 0
+    trials = 12
+    for i in range(trials):
+        key = jax.random.PRNGKey(100 + i)
+        taps = rayleigh_taps(key, delays=(0, 1, 3, 6),
+                             pdp_db=(0.0, -3.0, -6.0, -9.0))
+        y = apply_multipath(sig, taps)
+        y = np.asarray(apply_awgn(jax.random.PRNGKey(500 + i), y, 20.0))
+        re, im = planar.split_complex(y)
+        blk = sync.receive_block_planar(re, im, p, payload.size * 2,
+                                        min_power_db=-30.0)
+        for k in np.flatnonzero(np.asarray(blk.found)):
+            if np.array_equal(
+                    np.asarray(modem.decode(np.asarray(blk.symbols)[k])),
+                    payload):
+                ok += 1
+                break
+    assert ok >= trials - 2, f"only {ok}/{trials} Rayleigh draws decoded"
