@@ -22,10 +22,13 @@ single-channel path to the collision receiver (models/sic.py):
 overlapping same-SF frames are peeled in power order and each line
 carries its ``sic=PASS``.
 
+``--invert-iq`` conjugates the input — receive LoRaWAN-downlink
+(IQ-inverted) frames; an un-inverted receiver never locks on them.
+
 Flags: ``--in=FILE|-`` ``--sf=N|auto`` ``--cr`` ``--bw`` ``--osr`` ``--sync``
 ``--format=cf32|ci16|ci8`` ``--scale`` ``--payload-len=BYTES``
 ``--block=SAMPLES`` ``--max-frames=K`` ``--thresh=DB``
-``--checkpoint=PATH`` ``--sic`` ``--quiet``
+``--checkpoint=PATH`` ``--sic`` ``--invert-iq`` ``--quiet``
 """
 
 from __future__ import annotations
@@ -60,6 +63,7 @@ def main(argv=None) -> int:
         "channels": (int, 0),
         "any-sync": (None, False),
         "sic": (None, False),
+        "invert-iq": (None, False),
     })
     if flags["format"] not in _FORMATS:
         print(f"Unknown --format={flags['format']}", file=sys.stderr)
@@ -209,6 +213,8 @@ def main(argv=None) -> int:
             n = len(raw) // bytes_per_sample
             arr = np.frombuffer(raw[: n * bytes_per_sample], dtype)
             re, im = runtime.to_planar(arr, flags["scale"])
+            if flags["invert-iq"]:
+                im = -im     # LoRaWAN-downlink convention (conjugate input)
             # a short tail chunk is processed unpadded (one extra jit
             # trace at most, and the carry stays exactly the real stream
             # so --checkpoint resume is gap-free)

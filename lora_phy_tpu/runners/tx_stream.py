@@ -12,10 +12,14 @@ interleaved IQ through the native conversion runtime. The output of
 
 round-trips frame-for-frame (gated in tests/test_rx_stream.py).
 
+``--invert-iq`` conjugates the output (upchirps become downchirps) —
+the LoRaWAN downlink convention, so a gateway-side receiver and an
+end-device receiver never lock on each other's traffic.
+
 Flags: ``--payloads=FILE|-`` (hex lines; or ``--payload=HEX`` repeated
 count times via ``--count``) ``--out=FILE|-`` ``--sf`` ``--cr`` ``--bw``
 ``--osr`` ``--sync`` ``--gap=SAMPLES`` ``--format=cf32|ci16|ci8``
-``--ampl``
+``--ampl`` ``--invert-iq``
 """
 
 from __future__ import annotations
@@ -45,6 +49,7 @@ def main(argv=None) -> int:
         "format": (str, "cf32"),
         "ampl": (float, 1.0),
         "continuous-chirp": (None, False),
+        "invert-iq": (None, False),
     })
     if flags["format"] not in _FORMATS:
         print(f"Unknown --format={flags['format']}", file=sys.stderr)
@@ -80,8 +85,10 @@ def main(argv=None) -> int:
             iq = np.asarray(stream.frame_modulate(
                 syms, params, amplitude=flags["ampl"]))
             burst = np.concatenate([gap, iq])
-            cf32 = runtime.from_planar(
-                burst.real.astype(np.float32), burst.imag.astype(np.float32))
+            im = burst.imag.astype(np.float32)
+            if flags["invert-iq"]:
+                im = -im
+            cf32 = runtime.from_planar(burst.real.astype(np.float32), im)
             if flags["format"] == "cf32":
                 out.write(cf32.tobytes())
             elif flags["format"] == "ci16":

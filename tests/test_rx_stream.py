@@ -249,3 +249,28 @@ def test_rx_stream_sic_flag_conflicts(capfd):
     assert rx_stream.main(["--sic", "--sf=auto"]) == 1
     _, err = capfd.readouterr()
     assert err.count("--sic requires") == 2
+
+
+def test_invert_iq_downlink_roundtrip(tmp_path, capfd):
+    """--invert-iq on both sides round-trips (LoRaWAN downlink
+    convention); a plain receiver never locks on inverted frames, and
+    vice versa (uplink/downlink isolation)."""
+    from lora_phy_tpu.runners import tx_stream
+
+    pay = bytes(range(16)).hex()
+    sfile = tmp_path / "down.iq"
+    assert tx_stream.main([f"--payload={pay}", "--count=2", "--gap=900",
+                           f"--out={sfile}", "--invert-iq"]) == 0
+    capfd.readouterr()
+
+    assert rx_stream.main([f"--in={sfile}", "--sf=7",
+                           "--payload-len=16"]) == 0
+    plain, _ = capfd.readouterr()
+    assert "frame @" not in plain
+
+    assert rx_stream.main([f"--in={sfile}", "--sf=7", "--payload-len=16",
+                           "--invert-iq"]) == 0
+    out, err = capfd.readouterr()
+    lines = [l for l in out.splitlines() if l.startswith("frame @")]
+    assert len(lines) == 2 and "2 frames" in err
+    assert all(f"payload={pay}" in l for l in lines)
