@@ -359,3 +359,37 @@ def test_block_frames_sro_observable():
         fixed = receive(compensate_sro(drifted_iq, est))
         dec = np.asarray(modem.decode(np.asarray(fixed.symbols)[0]))
         np.testing.assert_array_equal(dec, payload, err_msg=f"{osr},{ppm}")
+
+
+def test_cross_sf_collision_both_decode():
+    """Two frames transmitted SIMULTANEOUSLY at different SFs (7 and 9,
+    equal power, fully overlapping in time): blind receive decodes both
+    without any cancellation — cross-SF chirps are quasi-orthogonal, so
+    each SF's dechirp spreads the other frame into the noise floor. The
+    same-SF case needs SIC (tests/test_sic.py); the cross-SF case is
+    free."""
+    rng = np.random.RandomState(21)
+    pl7 = rng.randint(0, 256, 4).astype(np.uint8)
+    pl9 = rng.randint(0, 256, 4).astype(np.uint8)
+    f7 = _frame(LoraParams(sf=7), pl7)
+    f9 = _frame(LoraParams(sf=9), pl9)
+    off9 = 2 * 512
+    off7 = off9 + 3 * 512                       # inside the SF9 frame
+    total = max(off7 + f7.size, off9 + f9.size) + 14 * 512
+    s = np.zeros(total, np.complex64)           # additive: true collision
+    s[off7: off7 + f7.size] += f7
+    s[off9: off9 + f9.size] += f9
+    # the SF7 frame sits entirely inside the SF9 frame's span
+    assert off9 < off7 and off7 + f7.size < off9 + f9.size
+
+    re, im = planar.split_complex(s)
+    res = sync.receive_blind_planar(re, im, LoraParams(sf=7),
+                                    n_payload_symbols=8, sfs=(7, 8, 9, 10))
+    rows = sync.blind_frames(res)
+    assert sorted(r["sf"] for r in rows) == [7, 9]
+    by_sf = {r["sf"]: r for r in rows}
+    assert by_sf[7]["start"] == off7 and by_sf[9]["start"] == off9
+    np.testing.assert_array_equal(
+        np.asarray(modem.decode(by_sf[7]["symbols"])), pl7)
+    np.testing.assert_array_equal(
+        np.asarray(modem.decode(by_sf[9]["symbols"])), pl9)
