@@ -133,16 +133,35 @@ def frame_sync(stream, params: LoraParams, preamble_len: int = 8,
     nwin = int(stream.shape[-1]) // step
     if nwin < preamble_len + 5:
         return FrameSyncResult(False, 0, 0, 0)
-    res = first_candidate(
-        sync.frame_sync_scan_planar(
-            np.ascontiguousarray(stream.real.astype(np.float32)),
-            np.ascontiguousarray(stream.imag.astype(np.float32)),
-            params, preamble_len, min_power_db=min_power_db,
-        )
+    scan = sync.frame_sync_scan_planar(
+        np.ascontiguousarray(stream.real.astype(np.float32)),
+        np.ascontiguousarray(stream.imag.astype(np.float32)),
+        params, preamble_len, min_power_db=min_power_db,
     )
+    res = first_candidate(scan)
     if res is None:
         return FrameSyncResult(False, 0, 0, 0)
     start, cfo_bins = res
+    # tau = +/-step/2 sign ambiguity (see sync.receive_block_planar): the
+    # true start is `start` or `start + step`; a 2-window SFD down-dechirp
+    # probe picks the hypothesis whose 10th symbol is really a downchirp.
+    w = int(np.flatnonzero(np.asarray(scan.valid))[0])
+    if abs(int(np.asarray(scan.tau)[w])) == step // 2:
+        down = np.asarray(base_downchirp(params.sf, params.scale, params.osr))
+
+        def sfd_peak(s0):
+            pos = s0 + (preamble_len + 2) * step
+            seg = np.zeros(step, np.complex64)
+            src = stream[max(pos, 0): max(pos + step, 0)]
+            seg[: src.shape[-1]] = src
+            spec = np.fft.fft((seg * np.conj(down)).reshape(
+                params.n, params.osr)[:, 0])
+            return float(np.max(np.abs(spec)))
+
+        if sfd_peak(start + step) > sfd_peak(start):
+            start += step
+    if start < 0:                     # unrescued negative-start alias
+        return FrameSyncResult(False, 0, 0, 0)
     payload_start = start + frame_overhead_samples(params, preamble_len)
     return FrameSyncResult(True, start, cfo_bins, payload_start)
 

@@ -172,7 +172,11 @@ def frame_sync_scan_planar(xr, xi, params: LoraParams,
     tau = _round_half_even((bin_dn - bin_up) / 2.0) * osr
     cfo_bins = _round_half_even((bin_dn + bin_up) / 2.0)
     start = (w_idx - preamble_len + 1) * step + tau
-    valid = is_end & has_dwin & (start >= 0)
+    # tau = -step/2 is sign-ambiguous (the +step/2 alias — see the
+    # receivers' SFD-probe disambiguation): keep a nominally-negative
+    # start alive if its +step alias would be in range
+    maybe_late = (tau == -(step // 2)) & (start + step >= 0)
+    valid = is_end & has_dwin & ((start >= 0) | maybe_late)
     if min_power_db is not None:
         power_db = (10.0 * jnp.log10(jnp.maximum(up_peak, 1e-30))
                     - 20.0 * math.log10(n))
@@ -246,6 +250,49 @@ def receive_block_planar(xr, xi, params: LoraParams,
 
     start = pick(scan.start)                                  # [..., K]
     cfo_bins = pick(scan.cfo_bins)
+
+    # --- tau = +/-step/2 disambiguation --------------------------------
+    # An up-bin of exactly n/2 is sign-ambiguous (+n/2 == -n/2 mod n), so
+    # the two-sided split aliases tau=+/-step/2 against cfo=-/+n/2; the
+    # scan's minimal-|cfo| tie-break then always reports tau=-step/2, one
+    # whole symbol early when the truth was +step/2 (the run-end window
+    # carries the same half-window fuzz, so the true start is always
+    # `start` or `start + step`). Resolve with a 2-window SFD probe: the
+    # first 2.25-downchirp window sits at start+10*step only for the
+    # correct hypothesis; down-dechirping it concentrates into one bin
+    # (any CFO — peak magnitude is shift-invariant), while the wrong
+    # hypothesis lands on a sync upchirp and spreads.
+    dr0, di0 = base_downchirp_planar(params.sf, params.scale, params.osr)
+    dr0, di0 = jnp.asarray(dr0), jnp.asarray(di0)
+
+    def sfd_peaks(h):
+        pos = jnp.clip(h + (preamble_len + 2) * step, 0, T)
+
+        def one_plane(plane):
+            pad = jnp.pad(plane, [(0, 0)] * (plane.ndim - 1) + [(0, step)])
+            flat = pad.reshape(-1, pad.shape[-1])
+            p0 = pos.reshape(-1, max_frames)
+
+            def per_row(row, p_row):
+                return jax.vmap(
+                    lambda q: jax.lax.dynamic_slice(row, (q,), (step,))
+                )(p_row)
+
+            return jax.vmap(per_row)(flat, p0).reshape(
+                *lead, max_frames, step)
+
+        sr, si_ = one_plane(xr), one_plane(xi)
+        ur = (sr * dr0 + si_ * di0).reshape(*lead, max_frames, n, osr)[..., 0]
+        ui = (si_ * dr0 - sr * di0).reshape(*lead, max_frames, n, osr)[..., 0]
+        _, pk = argmax_bins_planar(ur, ui, n, with_peak=True)
+        return pk
+
+    amb = jnp.abs(pick(scan.tau)) == (step // 2)
+    alt = start + step
+    use_alt = amb & (sfd_peaks(alt) > sfd_peaks(start))
+    start = jnp.where(use_alt, alt, start)
+    found = found & (start >= 0)      # unrescued negative-start alias
+    # -------------------------------------------------------------------
 
     sync_start = start + preamble_len * step
     payload_start = start + frame_overhead_samples(params, preamble_len)
@@ -324,6 +371,42 @@ def receive_block_planar(xr, xi, params: LoraParams,
     return BlockFrames(found, start, cfo_bins, syms, sync_word,
                        cfo, time_offset, snr_db.astype(jnp.float32),
                        sro_ppm)
+
+
+@partial(jax.jit, static_argnames=("params", "stride"))
+def cad_planar(xr, xi, params: LoraParams, stride: int = 4,
+               threshold_db: float = -30.0):
+    """Channel-activity detection: the SX126x CAD primitive (a 1-2 symbol
+    listen that Semtech radios use for listen-before-talk), batched over
+    ``[..., T]`` planes. Every ``stride``-th symbol window is up-dechirped
+    and DFT'd; a window is *active* when its peak power clears
+    ``threshold_db`` (the detector's dB convention, LoRaDetector.hpp:60-64:
+    0 dB = full-scale chirp). Any LoRa chirp — preamble, sync or payload,
+    any CFO — concentrates into one bin; noise and silence spread.
+
+    ``stride`` makes it a cheap pre-gate: at stride 4 the DFT matmul
+    touches a quarter of the stream, and a frame (preamble alone is 8
+    windows) still lights several probed windows. Returns
+    ``(active [...]-bool, peak_db [...]-float32 max probed window power)``.
+    """
+    n, osr, step = params.n, params.osr, params.step
+    nwin = xr.shape[-1] // step
+    lead = xr.shape[:-1]
+    probe = max(nwin // stride, 1)
+
+    ar = xr[..., : probe * stride * step].reshape(*lead, probe, stride, step)
+    ai = xi[..., : probe * stride * step].reshape(*lead, probe, stride, step)
+    ar, ai = ar[..., 0, :], ai[..., 0, :]           # every stride-th window
+
+    dr, di = base_downchirp_planar(params.sf, params.scale, params.osr)
+    dr, di = jnp.asarray(dr), jnp.asarray(di)
+    ur = (ar * dr - ai * di).reshape(*lead, probe, n, osr)[..., 0]
+    ui = (ar * di + ai * dr).reshape(*lead, probe, n, osr)[..., 0]
+    _, peak = argmax_bins_planar(ur, ui, n, with_peak=True)
+    peak_db = (10.0 * jnp.log10(jnp.maximum(peak, 1e-30))
+               - 20.0 * math.log10(n))
+    best = jnp.max(peak_db, axis=-1)
+    return best >= jnp.float32(threshold_db), best
 
 
 def receive_blind_planar(xr, xi, base_params: LoraParams,

@@ -24,11 +24,14 @@ carries its ``sic=PASS``.
 
 ``--invert-iq`` conjugates the input — receive LoRaWAN-downlink
 (IQ-inverted) frames; an un-inverted receiver never locks on them.
+``--cad`` inserts the SX126x-style channel-activity gate before each
+buffer's receive program (models/sync.cad_planar): silent buffers cost
+a quarter-stride dechirp+DFT probe instead of the full scan.
 
 Flags: ``--in=FILE|-`` ``--sf=N|auto`` ``--cr`` ``--bw`` ``--osr`` ``--sync``
 ``--format=cf32|ci16|ci8`` ``--scale`` ``--payload-len=BYTES``
 ``--block=SAMPLES`` ``--max-frames=K`` ``--thresh=DB``
-``--checkpoint=PATH`` ``--sic`` ``--invert-iq`` ``--quiet``
+``--checkpoint=PATH`` ``--sic`` ``--invert-iq`` ``--cad`` ``--quiet``
 """
 
 from __future__ import annotations
@@ -64,6 +67,7 @@ def main(argv=None) -> int:
         "any-sync": (None, False),
         "sic": (None, False),
         "invert-iq": (None, False),
+        "cad": (None, False),
     })
     if flags["format"] not in _FORMATS:
         print(f"Unknown --format={flags['format']}", file=sys.stderr)
@@ -71,6 +75,10 @@ def main(argv=None) -> int:
     if flags["sic"] and (flags["channels"] or flags["sf"] == "auto"):
         print("--sic requires a fixed --sf and a single channel",
               file=sys.stderr)
+        return 1
+    if flags["cad"] and flags["channels"]:
+        print("--cad requires a single channel (the gate dechirps at the "
+              "input rate)", file=sys.stderr)
         return 1
     import dataclasses
 
@@ -106,6 +114,7 @@ def main(argv=None) -> int:
     base = -carry_len                                  # abs index of carry[0]
     reported: set[tuple[int, int, int]] = set()        # (sf, chan, abs start)
     n_frames = 0
+    n_skipped = 0                                      # CAD-gated buffers
 
     ckpt = pathlib.Path(flags["checkpoint"]) if flags["checkpoint"] else None
     if ckpt and ckpt.exists():
@@ -220,7 +229,22 @@ def main(argv=None) -> int:
             # so --checkpoint resume is gap-free)
             buf_re = np.concatenate([carry_re, re])
             buf_im = np.concatenate([carry_im, im])
-            process(buf_re, buf_im, base)
+            if flags["cad"]:
+                # listen-before-process: the SX126x-style activity gate
+                # (models/sync.cad_planar) probes every 4th window at each
+                # candidate SF — a quarter-cost dechirp+DFT that skips the
+                # full receive program on silent buffers
+                active = any(
+                    bool(np.asarray(sync.cad_planar(
+                        buf_re, buf_im, p, threshold_db=flags["thresh"])[0]))
+                    for p in params_by_sf
+                )
+                if not active:
+                    n_skipped += 1
+                else:
+                    process(buf_re, buf_im, base)
+            else:
+                process(buf_re, buf_im, base)
             keep = min(carry_len, buf_re.size)
             base += buf_re.size - keep                 # abs index of carry[0]
             carry_re = buf_re[-keep:].copy()
@@ -238,7 +262,9 @@ def main(argv=None) -> int:
                  reported=np.asarray(sorted(reported), np.int64).reshape(-1, 3),
                  n_frames=np.int64(n_frames))
     if not flags["quiet"]:
-        print(f"{n_frames} frames", file=sys.stderr)
+        cad_note = (f" ({n_skipped} buffers CAD-skipped)"
+                    if flags["cad"] else "")
+        print(f"{n_frames} frames{cad_note}", file=sys.stderr)
     return 0
 
 

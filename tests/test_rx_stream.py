@@ -274,3 +274,30 @@ def test_invert_iq_downlink_roundtrip(tmp_path, capfd):
     lines = [l for l in out.splitlines() if l.startswith("frame @")]
     assert len(lines) == 2 and "2 frames" in err
     assert all(f"payload={pay}" in l for l in lines)
+
+
+def test_rx_stream_cad_gate(tmp_path, capfd, frames_fixture):
+    """--cad: same frames as the plain run, and the mostly-silent leading
+    blocks are skipped by the activity gate."""
+    p, payloads, sig, starts = frames_fixture
+    sig = np.concatenate([np.zeros(40000, np.complex64), sig])
+    path = tmp_path / "sparse.iq"
+    path.write_bytes(_interleave(sig))
+    args = [f"--in={path}", "--sf=7", "--payload-len=16", "--block=8192"]
+
+    assert rx_stream.main(args) == 0
+    plain, _ = capfd.readouterr()
+    assert rx_stream.main(args + ["--cad"]) == 0
+    gated, err = capfd.readouterr()
+
+    # gated output == plain output (CAD must never cost a frame), all
+    # payloads intact, and the leading silence was actually skipped
+    frame_lines = [l for l in plain.splitlines() if l.startswith("frame @")]
+    gated_lines = [l for l in gated.splitlines() if l.startswith("frame @")]
+    assert gated_lines == frame_lines
+    assert len(gated_lines) == 3
+    for line, pay in zip(gated_lines, payloads):
+        assert f"payload={pay.tobytes().hex()}" in line
+    import re as _re
+    m = _re.search(r"\((\d+) buffers CAD-skipped\)", err)
+    assert m and int(m.group(1)) >= 2

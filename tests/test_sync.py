@@ -65,10 +65,11 @@ def test_multi_frame_candidates_in_one_stream():
     assert off2 in starts.tolist()
 
 
-# step/2 (=64 here) is the inherent degenerate point of the two-sided
-# split (tau=+/-step/2 aliases cfo=-/+n/2) and is excluded; the scan
-# resolves exact-n/2 bins with a minimal-|cfo| prior (models/sync.py)
-@pytest.mark.parametrize("offset", [0, 1, 63, 65, 127])
+# step/2 (=64 here) is the degenerate point of the two-sided split
+# (tau=+/-step/2 aliases cfo=-/+n/2); the receivers resolve it with the
+# 2-window SFD probe (models/sync.py tau-disambiguation), so it is IN
+# the matrix
+@pytest.mark.parametrize("offset", [0, 1, 63, 64, 65, 127])
 def test_scan_offset_matches_host_sync(offset):
     p = LoraParams(sf=7)
     rng = np.random.RandomState(2)
@@ -393,3 +394,50 @@ def test_cross_sf_collision_both_decode():
         np.asarray(modem.decode(by_sf[7]["symbols"])), pl7)
     np.testing.assert_array_equal(
         np.asarray(modem.decode(by_sf[9]["symbols"])), pl9)
+
+
+def test_cad_activity_gate():
+    """cad_planar: the SX126x-style listen primitive. Chirps anywhere in
+    the probed windows fire it (any CFO); silence and sub-threshold noise
+    do not. Batched over leading dims."""
+    p = LoraParams(sf=7)
+    rng = np.random.RandomState(22)
+    payload = rng.randint(0, 256, 4).astype(np.uint8)
+    frame = _frame(p, payload)
+    total = frame.size + 12 * p.step
+
+    silent = np.zeros(total, np.complex64)
+    noise = (0.005 * (rng.randn(total) + 1j * rng.randn(total))
+             ).astype(np.complex64)
+    active = _place([(frame, 5 * p.step)], total)
+    cfo_active = _place(
+        [(np.asarray(apply_cfo_continuous(frame, 3.7, p.n, p.osr)),
+          5 * p.step)], total)
+
+    batch = np.stack([silent, noise, active, cfo_active])
+    re, im = planar.split_complex(batch)
+    act, peak_db = sync.cad_planar(re, im, p)
+    assert np.asarray(act).tolist() == [False, False, True, True]
+    assert float(np.asarray(peak_db)[2]) > -1.0       # full-scale chirp ~ 0 dB
+
+
+@pytest.mark.parametrize("off_in_window", [64, 192 + 64])
+def test_receive_block_degenerate_half_window_offset(off_in_window):
+    """A frame landing at exactly step/2 modulo the block's window grid
+    hits the two-sided split's sign ambiguity; the SFD probe inside
+    receive_block_planar resolves it to the exact start (it used to come
+    out one symbol early and demodulate garbage)."""
+    p = LoraParams(sf=7)
+    rng = np.random.RandomState(23)
+    pl = rng.randint(0, 256, 6).astype(np.uint8)
+    iq = _frame(p, pl)
+    off = 2 * p.step + off_in_window
+    s = _place([(iq, off)], off + iq.size + 4 * p.step)
+    re, im = planar.split_complex(s)
+    blk = sync.receive_block_planar(re, im, p, pl.size * 2)
+    found = np.flatnonzero(np.asarray(blk.found))
+    assert found.size == 1
+    k = int(found[0])
+    assert int(np.asarray(blk.start)[k]) == off
+    np.testing.assert_array_equal(
+        np.asarray(modem.decode(np.asarray(blk.symbols)[k])), pl)
