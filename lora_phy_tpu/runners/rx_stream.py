@@ -27,11 +27,16 @@ carries its ``sic=PASS``.
 ``--cad`` inserts the SX126x-style channel-activity gate before each
 buffer's receive program (models/sync.cad_planar): silent buffers cost
 a quarter-stride dechirp+DFT probe instead of the full scan.
+``--adaptive`` is gateway mode: self-describing frames (the explicit
+header carries length/CR/CRC), arbitrary payload sizes in one stream,
+per-frame CRC verification, ``--soft`` for ML soft decoding — pairs
+with ``lora-tx-stream --coded``.
 
 Flags: ``--in=FILE|-`` ``--sf=N|auto`` ``--cr`` ``--bw`` ``--osr`` ``--sync``
 ``--format=cf32|ci16|ci8`` ``--scale`` ``--payload-len=BYTES``
 ``--block=SAMPLES`` ``--max-frames=K`` ``--thresh=DB``
-``--checkpoint=PATH`` ``--sic`` ``--invert-iq`` ``--cad`` ``--quiet``
+``--checkpoint=PATH`` ``--sic`` ``--invert-iq`` ``--cad`` ``--adaptive``
+``--soft`` ``--quiet``
 """
 
 from __future__ import annotations
@@ -68,6 +73,8 @@ def main(argv=None) -> int:
         "sic": (None, False),
         "invert-iq": (None, False),
         "cad": (None, False),
+        "adaptive": (None, False),
+        "soft": (None, False),
     })
     if flags["format"] not in _FORMATS:
         print(f"Unknown --format={flags['format']}", file=sys.stderr)
@@ -79,6 +86,15 @@ def main(argv=None) -> int:
     if flags["cad"] and flags["channels"]:
         print("--cad requires a single channel (the gate dechirps at the "
               "input rate)", file=sys.stderr)
+        return 1
+    if flags["adaptive"] and (flags["channels"] or flags["sf"] == "auto"
+                              or flags["sic"]):
+        print("--adaptive requires a fixed --sf, a single channel and no "
+              "--sic", file=sys.stderr)
+        return 1
+    if flags["soft"] and not flags["adaptive"]:
+        print("--soft applies to --adaptive (header-driven coded frames)",
+              file=sys.stderr)
         return 1
     import dataclasses
 
@@ -127,6 +143,46 @@ def main(argv=None) -> int:
 
     src = (sys.stdin.buffer if flags["in"] in ("", "-")
            else open(flags["in"], "rb"))
+
+    if flags["adaptive"]:
+        # gateway mode: self-describing frames (explicit header carries
+        # length/CR/CRC), arbitrary payload sizes in one stream, CRC
+        # verification per frame; --soft decodes payloads from the
+        # symbol spectra (ML codeword correlation, ~1 dB PER gain)
+        adapt = stream.AdaptiveStreamDemodulator(params, soft=flags["soft"])
+        astate = adapt.init_state()
+        if ckpt and ckpt.exists():
+            astate = stream.load_state(ckpt)
+        try:
+            while True:
+                raw = src.read(block * bytes_per_sample)
+                if not raw:
+                    break
+                n = len(raw) // bytes_per_sample
+                arr = np.frombuffer(raw[: n * bytes_per_sample], dtype)
+                re, im = runtime.to_planar(arr, flags["scale"])
+                if flags["invert-iq"]:
+                    im = -im
+                astate, got = adapt.process(
+                    astate, (re + 1j * im).astype(np.complex64))
+                for pos, payload, info in got:
+                    n_frames += 1
+                    crc = (("ok" if info.get("crc_ok") else "bad")
+                           if info["crc"] else "off")
+                    soft_tag = (f" margin={info['soft_margin']:.1f}"
+                                if "soft_margin" in info else "")
+                    print(f"frame @{pos} len={info['length']} "
+                          f"cr=4/{4 + info['cr']} crc={crc} "
+                          f"cfo_bins={info['cfo_bins']}{soft_tag} "
+                          f"payload={payload.hex()}", flush=True)
+        finally:
+            if src is not sys.stdin.buffer:
+                src.close()
+        if ckpt:
+            stream.save_state(astate, ckpt)
+        if not flags["quiet"]:
+            print(f"{n_frames} frames", file=sys.stderr)
+        return 0
 
     def report(row, p, chan, buf_base):
         nonlocal n_frames

@@ -14,12 +14,16 @@ round-trips frame-for-frame (gated in tests/test_rx_stream.py).
 
 ``--invert-iq`` conjugates the output (upchirps become downchirps) —
 the LoRaWAN downlink convention, so a gateway-side receiver and an
-end-device receiver never lock on each other's traffic.
+end-device receiver never lock on each other's traffic. ``--coded``
+emits self-describing frames (explicit header carrying length/CR/CRC +
+the full coded chain, models/stream.frame_encode) that
+``rx_stream --adaptive`` decodes with no prior payload-size knowledge;
+``--cr`` selects 4/5..4/8, ``--crc`` appends the CRC16 trailer.
 
 Flags: ``--payloads=FILE|-`` (hex lines; or ``--payload=HEX`` repeated
 count times via ``--count``) ``--out=FILE|-`` ``--sf`` ``--cr`` ``--bw``
 ``--osr`` ``--sync`` ``--gap=SAMPLES`` ``--format=cf32|ci16|ci8``
-``--ampl`` ``--invert-iq``
+``--ampl`` ``--invert-iq`` ``--coded`` ``--crc``
 """
 
 from __future__ import annotations
@@ -50,6 +54,8 @@ def main(argv=None) -> int:
         "ampl": (float, 1.0),
         "continuous-chirp": (None, False),
         "invert-iq": (None, False),
+        "coded": (None, False),
+        "crc": (None, False),
     })
     if flags["format"] not in _FORMATS:
         print(f"Unknown --format={flags['format']}", file=sys.stderr)
@@ -81,9 +87,21 @@ def main(argv=None) -> int:
             except ValueError:
                 print(f"Bad hex payload: {hx!r}", file=sys.stderr)
                 return 1
-            syms = np.asarray(modem.encode(payload), np.int32)
-            iq = np.asarray(stream.frame_modulate(
-                syms, params, amplitude=flags["ampl"]))
+            if flags["coded"]:
+                # self-describing frame: explicit header (length/CR/CRC)
+                # + full coded chain — decodable by `rx_stream --adaptive`
+                # with no prior payload-size knowledge
+                from ..models.coded import CodedConfig
+
+                cfg = CodedConfig(sf=params.sf, cr=flags["cr"],
+                                  crc=flags["crc"])
+                iq = np.asarray(stream.frame_encode(payload, cfg, params))
+                if flags["ampl"] != 1.0:
+                    iq = (iq * np.float32(flags["ampl"])).astype(np.complex64)
+            else:
+                syms = np.asarray(modem.encode(payload), np.int32)
+                iq = np.asarray(stream.frame_modulate(
+                    syms, params, amplitude=flags["ampl"]))
             burst = np.concatenate([gap, iq])
             im = burst.imag.astype(np.float32)
             if flags["invert-iq"]:

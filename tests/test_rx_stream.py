@@ -301,3 +301,38 @@ def test_rx_stream_cad_gate(tmp_path, capfd, frames_fixture):
     import re as _re
     m = _re.search(r"\((\d+) buffers CAD-skipped\)", err)
     assert m and int(m.group(1)) >= 2
+
+
+def test_adaptive_gateway_mode(tmp_path, capfd):
+    """tx --coded -> rx --adaptive: self-describing frames of different
+    lengths in one stream, CRC-verified, across block seams; --soft path
+    agrees; flag conflicts error."""
+    from lora_phy_tpu.runners import tx_stream
+
+    plist = tmp_path / "plist.txt"
+    pays = ["deadbeef", "cafebabe001122334455667788", "0102"]
+    plist.write_text("".join(h + "\n" for h in pays))
+    sfile = tmp_path / "coded.iq"
+    assert tx_stream.main([f"--payloads={plist}", "--coded", "--cr=2",
+                           "--crc", "--gap=1200", f"--out={sfile}"]) == 0
+    capfd.readouterr()
+
+    # small blocks force frames to straddle the adaptive tail carry
+    args = [f"--in={sfile}", "--sf=7", "--adaptive", "--block=4096"]
+    assert rx_stream.main(args) == 0
+    out, err = capfd.readouterr()
+    lines = [l for l in out.splitlines() if l.startswith("frame @")]
+    assert len(lines) == 3 and "3 frames" in err
+    for line, hx in zip(lines, pays):
+        assert f"len={len(hx) // 2}" in line
+        assert "cr=4/6 crc=ok" in line
+        assert f"payload={hx}" in line
+
+    assert rx_stream.main(args + ["--soft"]) == 0
+    soft_out, _ = capfd.readouterr()
+    soft_lines = [l for l in soft_out.splitlines() if l.startswith("frame @")]
+    assert len(soft_lines) == 3
+    assert all("margin=" in l for l in soft_lines)
+
+    assert rx_stream.main(["--adaptive", "--sic"]) == 1
+    assert rx_stream.main(["--soft"]) == 1
