@@ -156,3 +156,26 @@ def test_disjoint_frames_both_found_first_pass():
         np.asarray(modem.decode(frames[0]["symbols"])), pay_a)
     np.testing.assert_array_equal(
         np.asarray(modem.decode(frames[1]["symbols"])), pay_b)
+
+
+def test_three_frame_pileup_power_ordered_peel():
+    """Three mutually-overlapping same-SF frames at 0/-8/-16 dB: peeled
+    strongest-first, all three payloads exact."""
+    p = LoraParams(sf=7)
+    rng = np.random.RandomState(5)
+    pays = [rng.randint(0, 256, 6).astype(np.uint8) for _ in range(3)]
+    amps = [1.0, 0.4, 0.16]
+    offs = [2 * p.step, 2 * p.step + 4 * p.step, 2 * p.step + 9 * p.step]
+    frames = [_frame(p, pay, amplitude=a) for pay, a in zip(pays, amps)]
+    total = max(o + f.size for o, f in zip(offs, frames)) + 6 * p.step
+    s = np.zeros(total, np.complex64)
+    for f, o in zip(frames, offs):
+        s[o: o + f.size] += f
+
+    re, im = planar.split_complex(s)
+    got, _ = sic.receive_sic_planar(re, im, p, pays[0].size * 2)
+    assert [f["start"] for f in got] == offs
+    assert [f["sic_pass"] for f in got] == [0, 1, 2]
+    for f, pay in zip(got, pays):
+        np.testing.assert_array_equal(
+            np.asarray(modem.decode(f["symbols"])), pay)
