@@ -38,7 +38,7 @@ import numpy as np
 
 from ..utils.params import LoraParams
 from .stream import frame_modulate_planar
-from .sync import receive_block_planar
+from .sync import block_rows, receive_block_planar
 
 _TWO_PI = 6.283185307179586
 
@@ -95,25 +95,6 @@ def cancel_frame_planar(xr, xi, symbols, start, cfo_total,
     return out_r, out_i, (g_re, g_im), resid_db
 
 
-def _block_rows(blk) -> list[dict]:
-    """Host-side rows of a 1-D BlockFrames, one per found frame."""
-    found = np.asarray(blk.found)
-    rows = []
-    for k in np.flatnonzero(found):
-        k = int(k)
-        rows.append({
-            "k": k,
-            "start": int(np.asarray(blk.start)[k]),
-            "cfo_bins": int(np.asarray(blk.cfo_bins)[k]),
-            "cfo": float(np.asarray(blk.cfo)[k]),
-            "sync": int(np.asarray(blk.sync)[k]),
-            "snr_db": float(np.asarray(blk.snr_db)[k]),
-            "sro_ppm": float(np.asarray(blk.sro_ppm)[k]),
-            "symbols": np.asarray(blk.symbols)[k],
-        })
-    return rows
-
-
 def receive_sic_planar(xr, xi, params: LoraParams, n_payload_symbols: int,
                        max_frames: int = 4, preamble_len: int = 8,
                        min_power_db: float | None = -30.0,
@@ -139,7 +120,7 @@ def receive_sic_planar(xr, xi, params: LoraParams, n_payload_symbols: int,
         blk = receive_block_planar(xr, xi, params, n_payload_symbols,
                                    max_frames, preamble_len,
                                    min_power_db=min_power_db)
-        rows = [r for r in _block_rows(blk)
+        rows = [r for r in block_rows(blk)
                 if all(abs(r["start"] - d["start"]) > guard for d in decoded)]
         if not rows:
             break

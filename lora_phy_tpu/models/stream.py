@@ -138,32 +138,45 @@ def frame_sync(stream, params: LoraParams, preamble_len: int = 8,
         np.ascontiguousarray(stream.imag.astype(np.float32)),
         params, preamble_len, min_power_db=min_power_db,
     )
-    res = first_candidate(scan)
-    if res is None:
+    valid_w = np.flatnonzero(np.asarray(scan.valid))
+    if valid_w.size == 0:
         return FrameSyncResult(False, 0, 0, 0)
-    start, cfo_bins = res
-    # tau = +/-step/2 sign ambiguity (see sync.receive_block_planar): the
-    # true start is `start` or `start + step`; a 2-window SFD down-dechirp
-    # probe picks the hypothesis whose 10th symbol is really a downchirp.
-    w = int(np.flatnonzero(np.asarray(scan.valid))[0])
-    if abs(int(np.asarray(scan.tau)[w])) == step // 2:
-        down = np.asarray(base_downchirp(params.sf, params.scale, params.osr))
+    down = None
+    for w in valid_w:
+        start = int(np.asarray(scan.start)[w])
+        cfo_bins = int(np.asarray(scan.cfo_bins)[w])
+        # tau = +/-step/2 sign ambiguity (see sync.receive_block_planar):
+        # the true start is `start` or `start + step`. Probe both with the
+        # asymmetric 2-window score — up-dechirped window 9 (second sync
+        # upchirp) + down-dechirped window 10 (first full SFD downchirp) —
+        # only the correct hypothesis concentrates BOTH (the SFD window
+        # alone would tie: windows 10 and 11 are both downchirps).
+        if abs(int(np.asarray(scan.tau)[w])) == step // 2:
+            if down is None:
+                down = np.asarray(
+                    base_downchirp(params.sf, params.scale, params.osr))
 
-        def sfd_peak(s0):
-            pos = s0 + (preamble_len + 2) * step
-            seg = np.zeros(step, np.complex64)
-            src = stream[max(pos, 0): max(pos + step, 0)]
-            seg[: src.shape[-1]] = src
-            spec = np.fft.fft((seg * np.conj(down)).reshape(
-                params.n, params.osr)[:, 0])
-            return float(np.max(np.abs(spec)))
+            def _peak(pos, ref):
+                seg = np.zeros(step, np.complex64)
+                src = stream[max(pos, 0): max(pos + step, 0)]
+                seg[: src.shape[-1]] = src
+                spec = np.fft.fft((seg * ref).reshape(
+                    params.n, params.osr)[:, 0])
+                return float(np.max(np.abs(spec)))
 
-        if sfd_peak(start + step) > sfd_peak(start):
-            start += step
-    if start < 0:                     # unrescued negative-start alias
-        return FrameSyncResult(False, 0, 0, 0)
-    payload_start = start + frame_overhead_samples(params, preamble_len)
-    return FrameSyncResult(True, start, cfo_bins, payload_start)
+            def score(s0):
+                return (_peak(s0 + (preamble_len + 1) * step, down)
+                        + _peak(s0 + (preamble_len + 2) * step,
+                                np.conj(down)))
+
+            if score(start + step) > score(start):
+                start += step
+        if start < 0:
+            continue                  # unrescued negative-start alias:
+            #                           try the next candidate window
+        payload_start = start + frame_overhead_samples(params, preamble_len)
+        return FrameSyncResult(True, start, cfo_bins, payload_start)
+    return FrameSyncResult(False, 0, 0, 0)
 
 
 def first_candidate(scan) -> tuple[int, int] | None:

@@ -257,16 +257,20 @@ def receive_block_planar(xr, xi, params: LoraParams,
     # scan's minimal-|cfo| tie-break then always reports tau=-step/2, one
     # whole symbol early when the truth was +step/2 (the run-end window
     # carries the same half-window fuzz, so the true start is always
-    # `start` or `start + step`). Resolve with a 2-window SFD probe: the
-    # first 2.25-downchirp window sits at start+10*step only for the
-    # correct hypothesis; down-dechirping it concentrates into one bin
-    # (any CFO — peak magnitude is shift-invariant), while the wrong
-    # hypothesis lands on a sync upchirp and spreads.
+    # `start` or `start + step`). Resolve with a 2-window probe per
+    # hypothesis: at the TRUE start, window 9 is the second sync UPCHIRP
+    # and window 10 the first full SFD DOWNCHIRP, so up-dechirping one
+    # and down-dechirping the other both concentrate (peak magnitude is
+    # CFO-invariant). A start one symbol off loses one of the two
+    # (probing the SFD window alone would tie: windows 10 AND 11 are
+    # both downchirps, and under noise the tie is a coin flip).
     dr0, di0 = base_downchirp_planar(params.sf, params.scale, params.osr)
     dr0, di0 = jnp.asarray(dr0), jnp.asarray(di0)
 
-    def sfd_peaks(h):
-        pos = jnp.clip(h + (preamble_len + 2) * step, 0, T)
+    def _peak_at(pos, down: bool):
+        """Peak |DFT|² of the step-window at per-frame positions ``pos``,
+        de-chirped for an up (down=False) or down (down=True) chirp."""
+        pos = jnp.clip(pos, 0, T)
 
         def one_plane(plane):
             pad = jnp.pad(plane, [(0, 0)] * (plane.ndim - 1) + [(0, step)])
@@ -282,14 +286,22 @@ def receive_block_planar(xr, xi, params: LoraParams,
                 *lead, max_frames, step)
 
         sr, si_ = one_plane(xr), one_plane(xi)
-        ur = (sr * dr0 + si_ * di0).reshape(*lead, max_frames, n, osr)[..., 0]
-        ui = (si_ * dr0 - sr * di0).reshape(*lead, max_frames, n, osr)[..., 0]
+        if down:      # x * conj(down): concentrates downchirps
+            ur, ui = sr * dr0 + si_ * di0, si_ * dr0 - sr * di0
+        else:         # x * down: concentrates upchirps
+            ur, ui = sr * dr0 - si_ * di0, si_ * dr0 + sr * di0
+        ur = ur.reshape(*lead, max_frames, n, osr)[..., 0]
+        ui = ui.reshape(*lead, max_frames, n, osr)[..., 0]
         _, pk = argmax_bins_planar(ur, ui, n, with_peak=True)
         return pk
 
+    def hyp_score(h):
+        return (_peak_at(h + (preamble_len + 1) * step, down=False)
+                + _peak_at(h + (preamble_len + 2) * step, down=True))
+
     amb = jnp.abs(pick(scan.tau)) == (step // 2)
     alt = start + step
-    use_alt = amb & (sfd_peaks(alt) > sfd_peaks(start))
+    use_alt = amb & (hyp_score(alt) > hyp_score(start))
     start = jnp.where(use_alt, alt, start)
     found = found & (start >= 0)      # unrescued negative-start alias
     # -------------------------------------------------------------------
@@ -392,7 +404,11 @@ def cad_planar(xr, xi, params: LoraParams, stride: int = 4,
     n, osr, step = params.n, params.osr, params.step
     nwin = xr.shape[-1] // step
     lead = xr.shape[:-1]
-    probe = max(nwin // stride, 1)
+    if nwin < 1:                   # sub-symbol input: nothing to listen to
+        return (jnp.zeros(lead, bool),
+                jnp.full(lead, -np.inf, jnp.float32))
+    stride = min(stride, nwin)     # short buffers: probe what exists
+    probe = nwin // stride
 
     ar = xr[..., : probe * stride * step].reshape(*lead, probe, stride, step)
     ai = xi[..., : probe * stride * step].reshape(*lead, probe, stride, step)
@@ -407,6 +423,27 @@ def cad_planar(xr, xi, params: LoraParams, stride: int = 4,
                - 20.0 * math.log10(n))
     best = jnp.max(peak_db, axis=-1)
     return best >= jnp.float32(threshold_db), best
+
+
+def block_rows(blk: BlockFrames) -> list[dict]:
+    """Host-side rows of a 1-D (single-channel) BlockFrames, one dict per
+    found frame — the shared extractor behind the SIC loop and the
+    streaming CLI."""
+    found = np.asarray(blk.found)
+    rows = []
+    for k in np.flatnonzero(found):
+        k = int(k)
+        rows.append({
+            "k": k,
+            "start": int(np.asarray(blk.start)[k]),
+            "cfo_bins": int(np.asarray(blk.cfo_bins)[k]),
+            "cfo": float(np.asarray(blk.cfo)[k]),
+            "sync": int(np.asarray(blk.sync)[k]),
+            "snr_db": float(np.asarray(blk.snr_db)[k]),
+            "sro_ppm": float(np.asarray(blk.sro_ppm)[k]),
+            "symbols": np.asarray(blk.symbols)[k],
+        })
+    return rows
 
 
 def receive_blind_planar(xr, xi, base_params: LoraParams,

@@ -133,7 +133,7 @@ def main(argv=None) -> int:
     n_skipped = 0                                      # CAD-gated buffers
 
     ckpt = pathlib.Path(flags["checkpoint"]) if flags["checkpoint"] else None
-    if ckpt and ckpt.exists():
+    if ckpt and ckpt.exists() and not flags["adaptive"]:
         z = np.load(ckpt)
         carry_re, carry_im = z["re"], z["im"]
         base = int(z["base"])
@@ -152,7 +152,13 @@ def main(argv=None) -> int:
         adapt = stream.AdaptiveStreamDemodulator(params, soft=flags["soft"])
         astate = adapt.init_state()
         if ckpt and ckpt.exists():
-            astate = stream.load_state(ckpt)
+            # adaptive checkpoints carry the complex tail + frame count
+            # (format distinct from the planar-carry one — same flag, but
+            # a file written by one mode is not resumable by the other)
+            z = np.load(ckpt)
+            tail = (z["tail_re"] + 1j * z["tail_im"]).astype(np.complex64)
+            astate = stream.StreamState(tail, int(z["consumed"]))
+            n_frames = int(z["n_frames"])
         try:
             while True:
                 raw = src.read(block * bytes_per_sample)
@@ -179,7 +185,11 @@ def main(argv=None) -> int:
             if src is not sys.stdin.buffer:
                 src.close()
         if ckpt:
-            stream.save_state(astate, ckpt)
+            tail = np.asarray(astate.tail)
+            np.savez(ckpt, tail_re=tail.real.astype(np.float32),
+                     tail_im=tail.imag.astype(np.float32),
+                     consumed=np.int64(astate.consumed),
+                     n_frames=np.int64(n_frames))
         if not flags["quiet"]:
             print(f"{n_frames} frames", file=sys.stderr)
         return 0
@@ -215,15 +225,6 @@ def main(argv=None) -> int:
               f"sro={row['sro_ppm']:+.1f}ppm "
               f"{sic_tag}payload={payload.hex()}", flush=True)
 
-    def _row(blk, k):
-        return {
-            "sync": int(np.asarray(blk.sync)[k]),
-            "start": int(np.asarray(blk.start)[k]),
-            "cfo_bins": int(np.asarray(blk.cfo_bins)[k]),
-            "snr_db": float(np.asarray(blk.snr_db)[k]),
-            "sro_ppm": float(np.asarray(blk.sro_ppm)[k]),
-            "symbols": np.asarray(blk.symbols)[k],
-        }
 
     def process(buf_re, buf_im, buf_base):
         for p in params_by_sf:
@@ -239,16 +240,10 @@ def main(argv=None) -> int:
                     max_frames=flags["max-frames"],
                     min_power_db=flags["thresh"],
                 )
-                found = np.asarray(blk.found)              # [K, max]
                 for chan in range(kch):
-                    sub = blk._replace(
-                        found=blk.found[chan],
-                        start=blk.start[chan], symbols=blk.symbols[chan],
-                        sync=blk.sync[chan], cfo_bins=blk.cfo_bins[chan],
-                        snr_db=blk.snr_db[chan], sro_ppm=blk.sro_ppm[chan],
-                    )
-                    for k in np.flatnonzero(found[chan]):
-                        report(_row(sub, k), p, chan, buf_base)
+                    sub = sync.BlockFrames(*(f[chan] for f in blk))
+                    for row in sync.block_rows(sub):
+                        report(row, p, chan, buf_base)
             elif flags["sic"]:
                 # collision receive: peel frames in power order (exact-TX
                 # resynthesis + LS gain fit + subtract, models/sic.py) so
@@ -267,8 +262,8 @@ def main(argv=None) -> int:
                     max_frames=flags["max-frames"],
                     min_power_db=flags["thresh"],
                 )
-                for k in np.flatnonzero(np.asarray(blk.found)):
-                    report(_row(blk, k), p, 0, buf_base)
+                for row in sync.block_rows(blk):
+                    report(row, p, 0, buf_base)
 
     try:
         while True:

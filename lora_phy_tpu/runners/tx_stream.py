@@ -93,6 +93,14 @@ def main(argv=None) -> int:
                 # with no prior payload-size knowledge
                 from ..models.coded import CodedConfig
 
+                if len(payload) > 255:     # 8-bit header length field
+                    print(f"--coded payload too long ({len(payload)} > 255 "
+                          "bytes)", file=sys.stderr)
+                    return 1
+                if not 1 <= flags["cr"] <= 4:    # 3-bit header CR field
+                    print(f"--coded needs --cr in 1..4, got {flags['cr']}",
+                          file=sys.stderr)
+                    return 1
                 cfg = CodedConfig(sf=params.sf, cr=flags["cr"],
                                   crc=flags["crc"])
                 iq = np.asarray(stream.frame_encode(payload, cfg, params))

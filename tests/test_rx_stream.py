@@ -336,3 +336,49 @@ def test_adaptive_gateway_mode(tmp_path, capfd):
 
     assert rx_stream.main(["--adaptive", "--sic"]) == 1
     assert rx_stream.main(["--soft"]) == 1
+
+
+def test_adaptive_checkpoint_resume(tmp_path, capfd):
+    """--adaptive --checkpoint: a frame split across two invocations is
+    decoded exactly once on resume, and the frame count carries over."""
+    from lora_phy_tpu.runners import tx_stream
+    from lora_phy_tpu.models.coded import CodedConfig
+
+    plist = tmp_path / "p.txt"
+    pays = ["aabbccdd", "00112233445566"]
+    plist.write_text("".join(h + "\n" for h in pays))
+    sfile = tmp_path / "c.iq"
+    assert tx_stream.main([f"--payloads={plist}", "--coded", "--crc",
+                           "--gap=1000", f"--out={sfile}"]) == 0
+    capfd.readouterr()
+    raw = sfile.read_bytes()
+    # split inside the SECOND frame
+    cut = (1000 + 6000 + 1000 + 800) * 8
+    a, b = tmp_path / "a.iq", tmp_path / "b.iq"
+    a.write_bytes(raw[:cut])
+    b.write_bytes(raw[cut:])
+    ck = tmp_path / "ck.npz"
+
+    assert rx_stream.main([f"--in={a}", "--sf=7", "--adaptive",
+                           f"--checkpoint={ck}"]) == 0
+    out1, _ = capfd.readouterr()
+    assert rx_stream.main([f"--in={b}", "--sf=7", "--adaptive",
+                           f"--checkpoint={ck}"]) == 0
+    out2, err2 = capfd.readouterr()
+    lines = [l for l in (out1 + out2).splitlines()
+             if l.startswith("frame @")]
+    assert len(lines) == 2 and "2 frames" in err2
+    for line, hx in zip(lines, pays):
+        assert f"payload={hx}" in line and "crc=ok" in line
+
+
+def test_tx_coded_validation(tmp_path, capfd):
+    from lora_phy_tpu.runners import tx_stream
+
+    big = "ab" * 256
+    assert tx_stream.main([f"--payload={big}", "--coded",
+                           f"--out={tmp_path/'x.iq'}"]) == 1
+    assert tx_stream.main(["--payload=0102", "--coded", "--cr=5",
+                           f"--out={tmp_path/'x.iq'}"]) == 1
+    _, err = capfd.readouterr()
+    assert "too long" in err and "--cr in 1..4" in err

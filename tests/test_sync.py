@@ -441,3 +441,61 @@ def test_receive_block_degenerate_half_window_offset(off_in_window):
     assert int(np.asarray(blk.start)[k]) == off
     np.testing.assert_array_equal(
         np.asarray(modem.decode(np.asarray(blk.symbols)[k])), pl)
+
+
+def test_degenerate_offset_sync_survives_noise():
+    """The tau=+/-step/2 probe is asymmetric (up-window 9 + down-window
+    10), so noise cannot coin-flip a correct start one symbol late (a
+    single SFD-window probe would tie at the true start: windows 10 and
+    11 are both downchirps)."""
+    from lora_phy_tpu.ops.impair import apply_awgn
+    import jax
+
+    p = LoraParams(sf=7)
+    rng = np.random.RandomState(30)
+    pl = rng.randint(0, 256, 6).astype(np.uint8)
+    iq = _frame(p, pl)
+    for trial in range(6):
+        off = 3 * p.step + (64 if trial % 2 == 0 else 0)   # degenerate/not
+        s = _place([(iq, off)], off + iq.size + 4 * p.step)
+        y = np.asarray(apply_awgn(jax.random.PRNGKey(600 + trial), s, 15.0))
+        re, im = planar.split_complex(y)
+        blk = sync.receive_block_planar(re, im, p, pl.size * 2,
+                                        min_power_db=-30.0)
+        rows = sync.block_rows(blk)
+        assert rows and rows[0]["start"] == off, (trial, rows)
+        np.testing.assert_array_equal(
+            np.asarray(modem.decode(rows[0]["symbols"])), pl)
+
+
+def test_sync_skips_unrescued_negative_start_candidate():
+    """A frame whose true start precedes the buffer (cut mid-preamble at
+    the degenerate half-window phase) must not mask a later full frame:
+    frame_sync skips the negative-start candidate and finds the real one."""
+    p = LoraParams(sf=7)
+    rng = np.random.RandomState(31)
+    pl = rng.randint(0, 256, 4).astype(np.uint8)
+    head = _frame(p, rng.randint(0, 256, 4).astype(np.uint8))[64:]
+    good = _frame(p, pl)
+    off_good = head.size + 5 * p.step
+    s = _place([(head, 0), (good, off_good)],
+               off_good + good.size + 4 * p.step)
+    res = stream.frame_sync(s, p)
+    assert res.found
+    assert res.start >= 0
+    out, _ = stream.frame_demodulate(s[res.start:], p, pl.size * 2)
+    assert out is not None
+
+
+def test_cad_short_buffers_no_crash():
+    """cad_planar handles buffers shorter than its stride (down to
+    sub-symbol, where there is nothing to listen to)."""
+    p = LoraParams(sf=7)
+    frame = _frame(p, np.arange(4, dtype=np.uint8))
+    for t in (p.step // 2, p.step, 2 * p.step, 3 * p.step):
+        silent = np.zeros(t, np.complex64)
+        act, _ = sync.cad_planar(*planar.split_complex(silent), p)
+        assert not bool(np.asarray(act))
+        if t >= p.step:
+            act, _ = sync.cad_planar(*planar.split_complex(frame[:t]), p)
+            assert bool(np.asarray(act))
