@@ -172,9 +172,60 @@ def main() -> None:
         f"-> {sps/1e9:.3f} Gsamples/s "
         f"({sps/BASELINE_IQ_SAMPLES_PER_S:.0f}x baseline)")
 
-    # --- secondary: SF12 (N=4096, four-step DFT path) --------------------
     xr.delete()
     xi.delete()
+
+    # --- secondary: block receiver end-to-end (the production rx_stream
+    # path: scan + candidate selection + SFD tau-probe + window slicing +
+    # preamble-anchored demod of every frame, ONE program) ----------------
+    block_rx_gsps = None
+    try:
+        from lora_phy_tpu.models import stream as streammod
+
+        pl_len = 16
+        n_pay = pl_len * 2
+        fpc = 512 if platform != "cpu" else 8          # frames per channel
+        gap = 4 * params.step
+        pay_blk = rng.randint(0, 256, (channels, pl_len)).astype(np.uint8)
+
+        @jax.jit
+        def framed_stream(pl):
+            syms = modem.encode(pl)                    # [C, 2*pl_len]
+            fr, fi = streammod.frame_modulate_planar(syms, params)
+            z = jnp.zeros((channels, gap), jnp.float32)
+            return (jnp.tile(jnp.concatenate([fr, z], -1), (1, fpc)),
+                    jnp.tile(jnp.concatenate([fi, z], -1), (1, fpc)))
+
+        br, bi = framed_stream(jax.device_put(pay_blk, dev))
+        np.asarray(br[0, :2])
+        blk = None
+
+        @jax.jit
+        def block_rx(r, i):
+            return syncmod.receive_block_planar(
+                r, i, params, n_pay, max_frames=fpc, min_power_db=-30.0)
+
+        def run_blk():
+            nonlocal blk
+            blk = block_rx(br, bi)
+
+        dt_b = _timeit(run_blk, lambda: np.asarray(blk.found[0, :2]),
+                       max(2, iters // 2))
+        found = np.asarray(blk.found)
+        assert found.sum() >= channels * (fpc - 1), int(found.sum())
+        with jax.default_device(cpu):
+            dec0 = np.asarray(modem.decode(np.asarray(blk.symbols)[0, 0]))
+        assert np.array_equal(dec0, pay_blk[0]), "block rx decode mismatch"
+        total_b = br.shape[0] * br.shape[1]
+        block_rx_gsps = total_b / dt_b / 1e9
+        log(f"block receiver: {block_rx_gsps:.3f} Gsamples/s end-to-end "
+            f"({int(found.sum())} frames, {dt_b*1e3:.1f} ms)")
+        br.delete()
+        bi.delete()
+    except Exception as e:
+        log(f"block receiver skipped: {e}")
+
+    # --- secondary: SF12 (N=4096, four-step DFT path) --------------------
     sf12_gsps = None
     try:
         p12 = LoraParams(sf=12)
@@ -218,6 +269,8 @@ def main() -> None:
             checks["sync_scan_gsps"] = sync_gsps
         if sf12_gsps:
             checks["sf12_gsps"] = sf12_gsps
+        if block_rx_gsps:
+            checks["block_rx_gsps"] = block_rx_gsps
         for key, val in checks.items():
             floor = 0.85 * base.get(key, 0.0)
             if val < floor:
@@ -233,6 +286,7 @@ def main() -> None:
         "tx_gsps": round(tx_sps / 1e9, 3),
         "sync_scan_gsps": round(sync_gsps, 3) if sync_gsps else None,
         "sf12_gsps": round(sf12_gsps, 3) if sf12_gsps else None,
+        "block_rx_gsps": round(block_rx_gsps, 3) if block_rx_gsps else None,
         "regressed": regressed,
     }))
 

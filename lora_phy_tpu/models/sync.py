@@ -228,8 +228,10 @@ def receive_block_planar(xr, xi, params: LoraParams,
 
     One jit over ``[..., channels, T]`` planes: the two-sided dechirp
     scan, selection of up to ``max_frames`` candidates per channel (rank
-    cumsum instead of the host rescan loop), per-candidate window slicing
-    (padded dynamic slices), integer-CFO derotation with continuous phase
+    cumsum instead of the host rescan loop), per-candidate window
+    extraction (contiguous-row gather + barrel shift — see the inline
+    note; per-frame dynamic slices cost ~5 us EACH on this chip and
+    dominated the program), integer-CFO derotation with continuous phase
     across the sync/payload sections (same contract as the serial
     ``stream.frame_demodulate``), external dechirp, and the working demod
     path. Host code only reads the resulting ``BlockFrames``.
@@ -251,6 +253,44 @@ def receive_block_planar(xr, xi, params: LoraParams,
     start = pick(scan.start)                                  # [..., K]
     cfo_bins = pick(scan.cfo_bins)
 
+    # --- window extraction: row gather + barrel shift -------------------
+    # Per-frame ``dynamic_slice`` costs ~5 us EACH on this chip
+    # (serialized row DMA — modem._shifted_rows measured the same); at
+    # channels x max_frames in the thousands that dominated the whole
+    # program (82 ms block receive, ~70 in slicing+probes at 8x512
+    # frames). Instead: (1) gather whole step-rows by index — a
+    # contiguous-row gather lowers well (~4 ms same workload) — giving
+    # each frame the stream from the window-grid point below ``start``;
+    # (2) barrel-shift left by the sub-window residual (log2(step)
+    # select stages, row-count independent — the unconditional-shift
+    # caller _shifted_rows' notes anticipated); (3) every downstream
+    # section and tau-probe window is then a STATIC slice.
+    pre_len = preamble_len * step
+    overhead = frame_overhead_samples(params, preamble_len)
+    win_full = overhead + n_payload_symbols * step
+    nwin_f = win_full // step + 3        # + shift row, + alt window, margin
+    w0 = jnp.floor_divide(start, step)   # >= -1 (scan keeps start >= -step)
+    rsub = jnp.mod(start, step)
+    widx = w0[..., None] + 1 + jnp.arange(nwin_f, dtype=jnp.int32)
+
+    def gather_shift(plane):
+        tail = (nwin_f + 2) * step + (-T) % step
+        pad = jnp.pad(plane, [(0, 0)] * (plane.ndim - 1) + [(step, tail)])
+        rows = pad.reshape(*lead, -1, step)            # [..., W', step]
+        idx = jnp.clip(widx, 0, rows.shape[-2] - 1)
+        g = jnp.take_along_axis(rows[..., None, :, :], idx[..., None],
+                                axis=-2)               # [..., K, nwin, step]
+        x = g.reshape(*lead, max_frames, nwin_f * step)
+        for b in range((step - 1).bit_length()):       # x[t] <- x[t + rsub]
+            k = 1 << b
+            on = ((rsub >> b) & 1).astype(bool)[..., None]
+            sh = jnp.concatenate(
+                [x[..., k:], jnp.zeros(x.shape[:-1] + (k,), x.dtype)], -1)
+            x = jnp.where(on, sh, x)
+        return x                                       # x[t] = stream[start+t]
+
+    gr_, gi_ = gather_shift(xr), gather_shift(xi)
+
     # --- tau = +/-step/2 disambiguation --------------------------------
     # An up-bin of exactly n/2 is sign-ambiguous (+n/2 == -n/2 mod n), so
     # the two-sided split aliases tau=+/-step/2 against cfo=-/+n/2; the
@@ -263,29 +303,14 @@ def receive_block_planar(xr, xi, params: LoraParams,
     # and down-dechirping the other both concentrate (peak magnitude is
     # CFO-invariant). A start one symbol off loses one of the two
     # (probing the SFD window alone would tie: windows 10 AND 11 are
-    # both downchirps, and under noise the tie is a coin flip).
+    # both downchirps, and under noise the tie is a coin flip). The
+    # probe windows are static slices of the gathered buffer.
     dr0, di0 = base_downchirp_planar(params.sf, params.scale, params.osr)
     dr0, di0 = jnp.asarray(dr0), jnp.asarray(di0)
 
-    def _peak_at(pos, down: bool):
-        """Peak |DFT|² of the step-window at per-frame positions ``pos``,
-        de-chirped for an up (down=False) or down (down=True) chirp."""
-        pos = jnp.clip(pos, 0, T)
-
-        def one_plane(plane):
-            pad = jnp.pad(plane, [(0, 0)] * (plane.ndim - 1) + [(0, step)])
-            flat = pad.reshape(-1, pad.shape[-1])
-            p0 = pos.reshape(-1, max_frames)
-
-            def per_row(row, p_row):
-                return jax.vmap(
-                    lambda q: jax.lax.dynamic_slice(row, (q,), (step,))
-                )(p_row)
-
-            return jax.vmap(per_row)(flat, p0).reshape(
-                *lead, max_frames, step)
-
-        sr, si_ = one_plane(xr), one_plane(xi)
+    def _probe(a, down: bool):
+        sr = gr_[..., a:a + step]
+        si_ = gi_[..., a:a + step]
         if down:      # x * conj(down): concentrates downchirps
             ur, ui = sr * dr0 + si_ * di0, si_ * dr0 - sr * di0
         else:         # x * down: concentrates upchirps
@@ -295,53 +320,43 @@ def receive_block_planar(xr, xi, params: LoraParams,
         _, pk = argmax_bins_planar(ur, ui, n, with_peak=True)
         return pk
 
-    def hyp_score(h):
-        return (_peak_at(h + (preamble_len + 1) * step, down=False)
-                + _peak_at(h + (preamble_len + 2) * step, down=True))
+    def hyp_score(off):
+        return (_probe(off + (preamble_len + 1) * step, down=False)
+                + _probe(off + (preamble_len + 2) * step, down=True))
 
     amb = jnp.abs(pick(scan.tau)) == (step // 2)
-    alt = start + step
-    use_alt = amb & (hyp_score(alt) > hyp_score(start))
-    start = jnp.where(use_alt, alt, start)
+    use_alt = amb & (hyp_score(step) > hyp_score(0))
+    start = jnp.where(use_alt, start + step, start)
     found = found & (start >= 0)      # unrescued negative-start alias
     # -------------------------------------------------------------------
 
-    sync_start = start + preamble_len * step
-    payload_start = start + frame_overhead_samples(params, preamble_len)
+    payload_start = start + overhead
     # a frame must fit inside the block
     fits = payload_start + n_payload_symbols * step <= T
     found = found & fits
 
-    pre_len = preamble_len * step
     win_len = pre_len + (2 + n_payload_symbols) * step
 
-    def slice_windows(plane):
-        """[..., T] -> [..., K, win_len]: preamble ++ sync (2) ++ payload."""
-        pad = jnp.pad(plane, [(0, 0)] * (plane.ndim - 1) + [(0, win_len)])
-        flat = pad.reshape(-1, pad.shape[-1])
-        f0 = jnp.clip(start, 0, T).reshape(-1, max_frames)
-        s0 = jnp.clip(sync_start, 0, T).reshape(-1, max_frames)
-        p0 = jnp.clip(payload_start, 0, T).reshape(-1, max_frames)
+    def window(buf):
+        """[..., K, L] gathered stream -> [..., K, win_len]:
+        preamble ++ sync (2) ++ payload, at the winning hypothesis."""
+        def sec(a, ln):
+            return jnp.where(use_alt[..., None],
+                             buf[..., a + step:a + step + ln],
+                             buf[..., a:a + ln])
 
-        def per_row(row, f_row, s_row, p_row):
-            def per_frame(f, s, p):
-                pre_sec = jax.lax.dynamic_slice(row, (f,), (pre_len,))
-                sync_sec = jax.lax.dynamic_slice(row, (s,), (2 * step,))
-                pay_sec = jax.lax.dynamic_slice(
-                    row, (p,), (n_payload_symbols * step,)
-                )
-                return jnp.concatenate([pre_sec, sync_sec, pay_sec])
+        return jnp.concatenate(
+            [sec(0, pre_len), sec(pre_len, 2 * step),
+             sec(overhead, n_payload_symbols * step)], axis=-1)
 
-            return jax.vmap(per_frame)(f_row, s_row, p_row)
-
-        out = jax.vmap(per_row)(flat, f0, s0, p0)
-        return out.reshape(*lead, max_frames, win_len)
-
-    wr = slice_windows(xr)
-    wi = slice_windows(xi)
+    wr = window(gr_)
+    wi = window(gi_)
 
     # integer-CFO derotation, continuous phase over the window (the
-    # contract validated by the serial receiver, stream.frame_demodulate)
+    # contract validated by the serial receiver, stream.frame_demodulate).
+    # (A step-periodic [K, step] cos/sin table broadcast over the symbol
+    # axis was measured SLOWER here — the [.., 1, step]-rank broadcast
+    # triggers the layout rotation documented in CLAUDE.md: 34 vs 29 ms.)
     idx = jnp.arange(win_len, dtype=jnp.float32)
     ph = (-2.0 * math.pi / step) * cfo_bins.astype(jnp.float32)[..., None] * idx
     c, s = jnp.cos(ph), jnp.sin(ph)
