@@ -179,3 +179,16 @@ def test_three_frame_pileup_power_ordered_peel():
     for f, pay in zip(got, pays):
         np.testing.assert_array_equal(
             np.asarray(modem.decode(f["symbols"])), pay)
+
+
+def test_sic_sweep_runner_smoke(tmp_path, capfd):
+    from lora_phy_tpu.runners import sic_sweep
+
+    out = tmp_path / "sweep.csv"
+    assert sic_sweep.main(["--trials=2", "--gaps=9", f"--out={out}"]) == 0
+    capfd.readouterr()
+    lines = out.read_text().strip().splitlines()
+    assert lines[0] == "gap_db,trials,weak_plain,weak_sic,strong_sic"
+    gap, trials, wp, ws, ss = lines[1].split(",")
+    assert (gap, trials) == ("9", "2")
+    assert int(ws) >= int(wp) and int(ss) == 2
