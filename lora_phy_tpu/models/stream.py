@@ -145,32 +145,31 @@ def frame_sync(stream, params: LoraParams, preamble_len: int = 8,
     for w in valid_w:
         start = int(np.asarray(scan.start)[w])
         cfo_bins = int(np.asarray(scan.cfo_bins)[w])
-        # tau = +/-step/2 sign ambiguity (see sync.receive_block_planar):
-        # the true start is `start` or `start + step`. Probe both with the
-        # asymmetric 2-window score — up-dechirped window 9 (second sync
-        # upchirp) + down-dechirped window 10 (first full SFD downchirp) —
-        # only the correct hypothesis concentrates BOTH (the SFD window
-        # alone would tie: windows 10 and 11 are both downchirps).
-        if abs(int(np.asarray(scan.tau)[w])) == step // 2:
-            if down is None:
-                down = np.asarray(
-                    base_downchirp(params.sf, params.scale, params.osr))
+        # Run-end fuzz (see sync.receive_block_planar): the true start is
+        # `start` or `start + step`. Probe both with the asymmetric
+        # 2-window score — up-dechirped window 9 (second sync upchirp) +
+        # down-dechirped window 10 (first full SFD downchirp) — only the
+        # correct hypothesis concentrates BOTH (the SFD window alone
+        # would tie: windows 10 and 11 are both downchirps).
+        if down is None:
+            down = np.asarray(
+                base_downchirp(params.sf, params.scale, params.osr))
 
-            def _peak(pos, ref):
-                seg = np.zeros(step, np.complex64)
-                src = stream[max(pos, 0): max(pos + step, 0)]
-                seg[: src.shape[-1]] = src
-                spec = np.fft.fft((seg * ref).reshape(
-                    params.n, params.osr)[:, 0])
-                return float(np.max(np.abs(spec)))
+        def _peak(pos, ref):
+            seg = np.zeros(step, np.complex64)
+            src = stream[max(pos, 0): max(pos + step, 0)]
+            seg[: src.shape[-1]] = src
+            spec = np.fft.fft((seg * ref).reshape(
+                params.n, params.osr)[:, 0])
+            return float(np.max(np.abs(spec)))
 
-            def score(s0):
-                return (_peak(s0 + (preamble_len + 1) * step, down)
-                        + _peak(s0 + (preamble_len + 2) * step,
-                                np.conj(down)))
+        def score(s0):
+            return (_peak(s0 + (preamble_len + 1) * step, down)
+                    + _peak(s0 + (preamble_len + 2) * step,
+                            np.conj(down)))
 
-            if score(start + step) > score(start):
-                start += step
+        if score(start + step) > score(start):
+            start += step
         if start < 0:
             continue                  # unrescued negative-start alias:
             #                           try the next candidate window

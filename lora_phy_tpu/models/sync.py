@@ -172,11 +172,10 @@ def frame_sync_scan_planar(xr, xi, params: LoraParams,
     tau = _round_half_even((bin_dn - bin_up) / 2.0) * osr
     cfo_bins = _round_half_even((bin_dn + bin_up) / 2.0)
     start = (w_idx - preamble_len + 1) * step + tau
-    # tau = -step/2 is sign-ambiguous (the +step/2 alias — see the
-    # receivers' SFD-probe disambiguation): keep a nominally-negative
-    # start alive if its +step alias would be in range
-    maybe_late = (tau == -(step // 2)) & (start + step >= 0)
-    valid = is_end & has_dwin & ((start >= 0) | maybe_late)
+    # the run-end is fuzzy by one window (see the receivers' SFD-probe
+    # disambiguation): keep a nominally-negative start alive if its
+    # +step alias would be in range
+    valid = is_end & has_dwin & (start + step >= 0)
     if min_power_db is not None:
         power_db = (10.0 * jnp.log10(jnp.maximum(up_peak, 1e-30))
                     - 20.0 * math.log10(n))
@@ -291,20 +290,22 @@ def receive_block_planar(xr, xi, params: LoraParams,
 
     gr_, gi_ = gather_shift(xr), gather_shift(xi)
 
-    # --- tau = +/-step/2 disambiguation --------------------------------
-    # An up-bin of exactly n/2 is sign-ambiguous (+n/2 == -n/2 mod n), so
-    # the two-sided split aliases tau=+/-step/2 against cfo=-/+n/2; the
-    # scan's minimal-|cfo| tie-break then always reports tau=-step/2, one
-    # whole symbol early when the truth was +step/2 (the run-end window
-    # carries the same half-window fuzz, so the true start is always
-    # `start` or `start + step`). Resolve with a 2-window probe per
-    # hypothesis: at the TRUE start, window 9 is the second sync UPCHIRP
-    # and window 10 the first full SFD DOWNCHIRP, so up-dechirping one
-    # and down-dechirping the other both concentrate (peak magnitude is
-    # CFO-invariant). A start one symbol off loses one of the two
-    # (probing the SFD window alone would tie: windows 10 AND 11 are
-    # both downchirps, and under noise the tie is a coin flip). The
-    # probe windows are static slices of the gathered buffer.
+    # --- run-end disambiguation (start vs start + step) -----------------
+    # The preamble run-end is fuzzy by one window whenever the frame's
+    # arrival phase puts a window boundary near the middle of a symbol:
+    # the mixed preamble|sync window's argmax is a near-coin-flip, and
+    # since `start` is derived from the run-END window, losing that flip
+    # reports the frame one whole symbol early (tau itself stays right —
+    # at an arrival phase of EXACTLY step/2 it additionally sign-aliases,
+    # the worst case). The true start is always `start` or `start+step`.
+    # Resolve with a 2-window probe per hypothesis: at the TRUE start,
+    # window 9 is the second sync UPCHIRP and window 10 the first full
+    # SFD DOWNCHIRP, so up-dechirping one and down-dechirping the other
+    # both concentrate (peak magnitude is CFO-invariant); a start one
+    # symbol off loses one of the two (probing the SFD window alone
+    # would tie: windows 10 AND 11 are both downchirps, and under noise
+    # the tie is a coin flip). Probes are static slices of the gathered
+    # buffer — cheap enough to run for EVERY frame.
     dr0, di0 = base_downchirp_planar(params.sf, params.scale, params.osr)
     dr0, di0 = jnp.asarray(dr0), jnp.asarray(di0)
 
@@ -324,8 +325,7 @@ def receive_block_planar(xr, xi, params: LoraParams,
         return (_probe(off + (preamble_len + 1) * step, down=False)
                 + _probe(off + (preamble_len + 2) * step, down=True))
 
-    amb = jnp.abs(pick(scan.tau)) == (step // 2)
-    use_alt = amb & (hyp_score(step) > hyp_score(0))
+    use_alt = hyp_score(step) > hyp_score(0)
     start = jnp.where(use_alt, start + step, start)
     found = found & (start >= 0)      # unrescued negative-start alias
     # -------------------------------------------------------------------

@@ -34,7 +34,7 @@ with ``lora-tx-stream --coded``.
 
 Flags: ``--in=FILE|-`` ``--sf=N|auto`` ``--cr`` ``--bw`` ``--osr`` ``--sync``
 ``--format=cf32|ci16|ci8`` ``--scale`` ``--payload-len=BYTES``
-``--block=SAMPLES`` ``--max-frames=K`` ``--thresh=DB``
+``--block=SAMPLES`` ``--max-frames=K`` ``--thresh=DB`` ``--taps=N``
 ``--checkpoint=PATH`` ``--sic`` ``--invert-iq`` ``--cad`` ``--adaptive``
 ``--soft`` ``--quiet``
 """
@@ -69,6 +69,7 @@ def main(argv=None) -> int:
         "checkpoint": (str, ""),
         "quiet": (None, False),
         "channels": (int, 0),
+        "taps": (int, 7),             # polyphase taps/branch (wideband)
         "any-sync": (None, False),
         "sic": (None, False),
         "invert-iq": (None, False),
@@ -238,6 +239,7 @@ def main(argv=None) -> int:
                 blk = sync.receive_wideband_planar(
                     br, bi, kch, p, n_payload_symbols,
                     max_frames=flags["max-frames"],
+                    taps_per_branch=flags["taps"],
                     min_power_db=flags["thresh"],
                 )
                 for chan in range(kch):

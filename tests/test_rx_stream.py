@@ -382,3 +382,75 @@ def test_tx_coded_validation(tmp_path, capfd):
                            f"--out={tmp_path/'x.iq'}"]) == 1
     _, err = capfd.readouterr()
     assert "too long" in err and "--cr in 1..4" in err
+
+
+def test_adaptive_gateway_under_cfo_and_noise(tmp_path, capfd):
+    """Gateway mode survives a real channel: continuous fractional CFO
+    (1.7 bins) + 15 dB AWGN on coded frames — both decode with crc=ok."""
+    import jax
+    from lora_phy_tpu.ops.impair import apply_awgn, apply_cfo_continuous
+    from lora_phy_tpu.runners import tx_stream
+
+    plist = tmp_path / "p.txt"
+    pays = ["deadbeefcafe", "001122334455667788"]
+    plist.write_text("".join(h + "\n" for h in pays))
+    clean = tmp_path / "clean.iq"
+    assert tx_stream.main([f"--payloads={plist}", "--coded", "--crc",
+                           "--gap=1100", f"--out={clean}"]) == 0
+    capfd.readouterr()
+
+    raw = np.frombuffer(clean.read_bytes(), np.float32)
+    sig = (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
+    p = LoraParams(sf=7)
+    y = apply_cfo_continuous(sig, 1.7, p.n, p.osr)
+    y = np.asarray(apply_awgn(jax.random.PRNGKey(77), y, 15.0))
+    path = tmp_path / "noisy.iq"
+    path.write_bytes(_interleave(y))
+
+    assert rx_stream.main([f"--in={path}", "--sf=7", "--adaptive"]) == 0
+    out, err = capfd.readouterr()
+    lines = [l for l in out.splitlines() if l.startswith("frame @")]
+    assert len(lines) == 2 and "2 frames" in err
+    for line, hx in zip(lines, pays):
+        assert "crc=ok" in line and f"payload={hx}" in line
+        assert "cfo_bins=2" in line     # 1.7 bins rounds to integer 2
+
+
+def test_rx_stream_wideband_blind_sf_compose(tmp_path, capfd):
+    """--channels=K composes with --sf=auto: an SF7 frame on one
+    sub-channel and an SF8 frame on another, both found blind with the
+    right sf= and ch= tags."""
+    from lora_phy_tpu.ops.channelizer import synthesize_channels_planar
+
+    k = 4
+    rng = np.random.RandomState(17)
+    pay7 = rng.randint(0, 256, 8).astype(np.uint8)
+    pay8 = rng.randint(0, 256, 8).astype(np.uint8)
+    f7 = np.asarray(stream.frame_modulate(
+        np.asarray(modem.encode(pay7), np.int32), LoraParams(sf=7)))
+    f8 = np.asarray(stream.frame_modulate(
+        np.asarray(modem.encode(pay8), np.int32), LoraParams(sf=8)))
+    L = max(f7.size, f8.size) + 16 * 256
+    chans = np.zeros((k, L), np.complex64)
+    chans[0, 500:500 + f7.size] = f7
+    chans[2, 900:900 + f8.size] = f8
+    wr, wi = synthesize_channels_planar(
+        chans.real.astype(np.float32), chans.imag.astype(np.float32), k,
+        taps_per_branch=15)
+    wide = np.asarray(wr) + 1j * np.asarray(wi)
+    path = tmp_path / "wbblind.iq"
+    path.write_bytes(_interleave(wide))
+
+    # --thresh=-15: the 15-branch-tap analysis bank leaves adjacent-
+    # channel images near -20 dB; a real frame sits at 0 dB
+    rc = rx_stream.main([f"--in={path}", "--sf=auto", "--payload-len=8",
+                         f"--channels={k}", "--block=131072",
+                         "--taps=15", "--thresh=-15"])
+    out, err = capfd.readouterr()
+    assert rc == 0 and "2 frames" in err
+    lines = [l for l in out.splitlines() if l.startswith("frame ")]
+    tags = {(l.split("sf=")[1].split()[0], l.split("ch=")[1].split()[0])
+            for l in lines}
+    assert tags == {("7", "0"), ("8", "2")}
+    assert any(f"payload={pay7.tobytes().hex()}" in l for l in lines)
+    assert any(f"payload={pay8.tobytes().hex()}" in l for l in lines)
