@@ -35,6 +35,7 @@ with ``lora-tx-stream --coded``.
 Flags: ``--in=FILE|-`` ``--sf=N|auto`` ``--cr`` ``--bw`` ``--osr`` ``--sync``
 ``--format=cf32|ci16|ci8`` ``--scale`` ``--payload-len=BYTES``
 ``--block=SAMPLES`` ``--max-frames=K`` ``--thresh=DB`` ``--taps=N``
+``--preamble=N``
 ``--checkpoint=PATH`` ``--sic`` ``--invert-iq`` ``--cad`` ``--adaptive``
 ``--soft`` ``--quiet``
 """
@@ -70,6 +71,7 @@ def main(argv=None) -> int:
         "quiet": (None, False),
         "channels": (int, 0),
         "taps": (int, 7),             # polyphase taps/branch (wideband)
+        "preamble": (int, 8),
         "any-sync": (None, False),
         "sic": (None, False),
         "invert-iq": (None, False),
@@ -115,8 +117,9 @@ def main(argv=None) -> int:
 
     dtype, bytes_per_sample = _FORMATS[flags["format"]]
     n_payload_symbols = flags["payload-len"] * 2      # simple Hamming84 chain
+    npre = flags["preamble"]
     frame_lens = {
-        p.sf: (stream.frame_overhead_samples(p)
+        p.sf: (stream.frame_overhead_samples(p, npre)
                + n_payload_symbols * p.step) for p in params_by_sf
     }
     frame_len = max(frame_lens.values())
@@ -150,7 +153,8 @@ def main(argv=None) -> int:
         # length/CR/CRC), arbitrary payload sizes in one stream, CRC
         # verification per frame; --soft decodes payloads from the
         # symbol spectra (ML codeword correlation, ~1 dB PER gain)
-        adapt = stream.AdaptiveStreamDemodulator(params, soft=flags["soft"])
+        adapt = stream.AdaptiveStreamDemodulator(params, preamble_len=npre,
+                                                 soft=flags["soft"])
         astate = adapt.init_state()
         if ckpt and ckpt.exists():
             # adaptive checkpoints carry the complex tail + frame count
@@ -238,7 +242,7 @@ def main(argv=None) -> int:
                     br, bi = buf_re, buf_im
                 blk = sync.receive_wideband_planar(
                     br, bi, kch, p, n_payload_symbols,
-                    max_frames=flags["max-frames"],
+                    max_frames=flags["max-frames"], preamble_len=npre,
                     taps_per_branch=flags["taps"],
                     min_power_db=flags["thresh"],
                 )
@@ -252,7 +256,7 @@ def main(argv=None) -> int:
                 # overlapping same-SF frames all decode
                 rows, _ = sic_model.receive_sic_planar(
                     buf_re, buf_im, p, n_payload_symbols,
-                    max_frames=flags["max-frames"],
+                    max_frames=flags["max-frames"], preamble_len=npre,
                     min_power_db=flags["thresh"],
                     max_iters=flags["max-frames"],
                 )
@@ -261,7 +265,7 @@ def main(argv=None) -> int:
             else:
                 blk = sync.receive_block_planar(
                     buf_re, buf_im, p, n_payload_symbols,
-                    max_frames=flags["max-frames"],
+                    max_frames=flags["max-frames"], preamble_len=npre,
                     min_power_db=flags["thresh"],
                 )
                 for row in sync.block_rows(blk):

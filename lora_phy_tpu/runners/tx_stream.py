@@ -23,7 +23,7 @@ the full coded chain, models/stream.frame_encode) that
 Flags: ``--payloads=FILE|-`` (hex lines; or ``--payload=HEX`` repeated
 count times via ``--count``) ``--out=FILE|-`` ``--sf`` ``--cr`` ``--bw``
 ``--osr`` ``--sync`` ``--gap=SAMPLES`` ``--format=cf32|ci16|ci8``
-``--ampl`` ``--invert-iq`` ``--coded`` ``--crc``
+``--ampl`` ``--invert-iq`` ``--coded`` ``--crc`` ``--preamble=N``
 """
 
 from __future__ import annotations
@@ -56,6 +56,7 @@ def main(argv=None) -> int:
         "invert-iq": (None, False),
         "coded": (None, False),
         "crc": (None, False),
+        "preamble": (int, 8),
     })
     if flags["format"] not in _FORMATS:
         print(f"Unknown --format={flags['format']}", file=sys.stderr)
@@ -103,13 +104,15 @@ def main(argv=None) -> int:
                     return 1
                 cfg = CodedConfig(sf=params.sf, cr=flags["cr"],
                                   crc=flags["crc"])
-                iq = np.asarray(stream.frame_encode(payload, cfg, params))
+                iq = np.asarray(stream.frame_encode(
+                    payload, cfg, params, preamble_len=flags["preamble"]))
                 if flags["ampl"] != 1.0:
                     iq = (iq * np.float32(flags["ampl"])).astype(np.complex64)
             else:
                 syms = np.asarray(modem.encode(payload), np.int32)
                 iq = np.asarray(stream.frame_modulate(
-                    syms, params, amplitude=flags["ampl"]))
+                    syms, params, flags["preamble"],
+                    amplitude=flags["ampl"]))
             burst = np.concatenate([gap, iq])
             im = burst.imag.astype(np.float32)
             if flags["invert-iq"]:

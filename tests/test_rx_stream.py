@@ -454,3 +454,30 @@ def test_rx_stream_wideband_blind_sf_compose(tmp_path, capfd):
     assert tags == {("7", "0"), ("8", "2")}
     assert any(f"payload={pay7.tobytes().hex()}" in l for l in lines)
     assert any(f"payload={pay8.tobytes().hex()}" in l for l in lines)
+
+
+def test_preamble_length_flag_roundtrip(tmp_path, capfd):
+    """--preamble=N on both CLIs: long-preamble frames (12 upchirps, a
+    common LoRaWAN beacon setting) round-trip in both plain and gateway
+    modes."""
+    from lora_phy_tpu.runners import tx_stream
+
+    pay = "c0ffee00112233"
+    for mode in ("plain", "coded"):
+        sfile = tmp_path / f"lp_{mode}.iq"
+        args = [f"--payload={pay}", "--preamble=12", "--gap=1000",
+                f"--out={sfile}"]
+        if mode == "coded":
+            args += ["--coded", "--crc"]
+        assert tx_stream.main(args) == 0
+        capfd.readouterr()
+        if mode == "coded":
+            rx = [f"--in={sfile}", "--sf=7", "--adaptive", "--preamble=12"]
+        else:
+            rx = [f"--in={sfile}", "--sf=7", "--payload-len=7",
+                  "--preamble=12"]
+        assert rx_stream.main(rx) == 0
+        out, err = capfd.readouterr()
+        lines = [l for l in out.splitlines() if l.startswith("frame @")]
+        assert len(lines) == 1 and f"payload={pay}" in lines[0], (mode, out)
+        assert "@1000 " in lines[0]
