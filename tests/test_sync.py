@@ -499,3 +499,23 @@ def test_cad_short_buffers_no_crash():
         if t >= p.step:
             act, _ = sync.cad_planar(*planar.split_complex(frame[:t]), p)
             assert bool(np.asarray(act))
+
+
+@pytest.mark.parametrize("sf", [11, 12])
+def test_receive_block_high_sf_four_step_path(sf):
+    """The rewritten extraction (row gather + barrel shift + static-slice
+    probes) at N=2048/4096, where the DFT and the probes ride the
+    four-step factorisation; off-grid start exercises the barrel."""
+    p = LoraParams(sf=sf)
+    rng = np.random.RandomState(24)
+    pl = rng.randint(0, 256, 3).astype(np.uint8)
+    iq = _frame(p, pl)
+    off = p.step + 777                       # arbitrary sub-window phase
+    s = _place([(iq, off)], off + iq.size + 5 * p.step)
+    re, im = planar.split_complex(s)
+    blk = sync.receive_block_planar(re, im, p, pl.size * 2, max_frames=2)
+    rows = sync.block_rows(blk)
+    assert len(rows) == 1 and rows[0]["start"] == off
+    assert rows[0]["sync"] == p.sync_word
+    np.testing.assert_array_equal(
+        np.asarray(modem.decode(rows[0]["symbols"])), pl)
