@@ -37,11 +37,12 @@ Flags: ``--in=FILE|-`` ``--sf=N|auto`` ``--cr`` ``--bw`` ``--osr`` ``--sync``
 ``--block=SAMPLES`` ``--max-frames=K`` ``--thresh=DB`` ``--taps=N``
 ``--preamble=N``
 ``--checkpoint=PATH`` ``--sic`` ``--invert-iq`` ``--cad`` ``--adaptive``
-``--soft`` ``--quiet``
+``--soft`` ``--json`` (one JSON object per frame on stdout) ``--quiet``
 """
 
 from __future__ import annotations
 
+import json
 import pathlib
 import sys
 
@@ -78,6 +79,7 @@ def main(argv=None) -> int:
         "cad": (None, False),
         "adaptive": (None, False),
         "soft": (None, False),
+        "json": (None, False),
     })
     if flags["format"] not in _FORMATS:
         print(f"Unknown --format={flags['format']}", file=sys.stderr)
@@ -180,6 +182,16 @@ def main(argv=None) -> int:
                     n_frames += 1
                     crc = (("ok" if info.get("crc_ok") else "bad")
                            if info["crc"] else "off")
+                    if flags["json"]:
+                        rec = {"start": pos, "len": info["length"],
+                               "cr": f"4/{4 + info['cr']}", "crc": crc,
+                               "cfo_bins": info["cfo_bins"],
+                               "payload": payload.hex()}
+                        if "soft_margin" in info:
+                            rec["soft_margin"] = round(
+                                info["soft_margin"], 2)
+                        print(json.dumps(rec), flush=True)
+                        continue
                     soft_tag = (f" margin={info['soft_margin']:.1f}"
                                 if "soft_margin" in info else "")
                     print(f"frame @{pos} len={info['length']} "
@@ -220,6 +232,20 @@ def main(argv=None) -> int:
         reported.add((p.sf, chan, abs_start))
         n_frames += 1
         payload = np.asarray(modem.decode(row["symbols"])).tobytes()
+        if flags["json"]:
+            rec = {"start": abs_start, "sync": row["sync"],
+                   "cfo_bins": row["cfo_bins"],
+                   "snr_db": round(row["snr_db"], 2),
+                   "sro_ppm": round(row["sro_ppm"], 2),
+                   "payload": payload.hex()}
+            if kch:
+                rec["channel"] = chan
+            if blind:
+                rec["sf"] = p.sf
+            if "sic_pass" in row:
+                rec["sic_pass"] = row["sic_pass"]
+            print(json.dumps(rec), flush=True)
+            return
         ch = f"ch={chan} " if kch else ""
         sf_tag = f"sf={p.sf} " if blind else ""
         sic_tag = (f"sic={row['sic_pass']} " if "sic_pass" in row else "")

@@ -481,3 +481,33 @@ def test_preamble_length_flag_roundtrip(tmp_path, capfd):
         lines = [l for l in out.splitlines() if l.startswith("frame @")]
         assert len(lines) == 1 and f"payload={pay}" in lines[0], (mode, out)
         assert "@1000 " in lines[0]
+
+
+def test_rx_stream_json_output(tmp_path, capfd, frames_fixture):
+    """--json: one parseable JSON object per frame, both plain and
+    adaptive modes."""
+    import json as jsonlib
+    from lora_phy_tpu.runners import tx_stream
+
+    p, payloads, sig, starts = frames_fixture
+    path = tmp_path / "s.iq"
+    path.write_bytes(_interleave(sig))
+    assert rx_stream.main([f"--in={path}", "--sf=7", "--payload-len=16",
+                           "--json"]) == 0
+    out, _ = capfd.readouterr()
+    recs = [jsonlib.loads(l) for l in out.splitlines() if l.strip()]
+    assert [r["start"] for r in recs] == starts
+    assert [r["payload"] for r in recs] == [
+        pay.tobytes().hex() for pay in payloads]
+    assert all(r["sync"] == 0x12 and "snr_db" in r for r in recs)
+
+    coded = tmp_path / "c.iq"
+    assert tx_stream.main(["--payload=beef", "--coded", "--crc",
+                           f"--out={coded}"]) == 0
+    capfd.readouterr()
+    assert rx_stream.main([f"--in={coded}", "--sf=7", "--adaptive",
+                           "--json"]) == 0
+    out, _ = capfd.readouterr()
+    (rec,) = [jsonlib.loads(l) for l in out.splitlines() if l.strip()]
+    assert rec["payload"] == "beef" and rec["crc"] == "ok"
+    assert rec["len"] == 2 and rec["cr"] == "4/5"
