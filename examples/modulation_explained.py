@@ -130,7 +130,46 @@ def main(outdir: str | None = None) -> int:
     fig.savefig(out / "modulation_explained_3_frame.png", dpi=100)
     plt.close(fig)
 
-    print(f"wrote 3 figures to {out}")
+    # --- figure 4: a same-SF collision, before and after SIC peeling ----
+    from lora_phy_tpu.models import sic
+
+    pay_a = np.frombuffer(b"STRONG", np.uint8)
+    pay_b = np.frombuffer(b"weak..", np.uint8)
+    fa = np.asarray(stream.frame_modulate(
+        np.asarray(modem.encode(pay_a), np.int32), p))
+    fb = 0.3 * np.asarray(stream.frame_modulate(
+        np.asarray(modem.encode(pay_b), np.int32), p))
+    off_a, off_b = 2 * p.step, 7 * p.step
+    coll = np.zeros(off_b + fb.size + 5 * p.step, np.complex64)
+    coll[off_a: off_a + fa.size] += fa.astype(np.complex64)
+    coll[off_b: off_b + fb.size] += fb.astype(np.complex64)
+    cr_, ci_ = planar.split_complex(coll)
+    frames, (resr, resi) = sic.receive_sic_planar(cr_, ci_, p,
+                                                  pay_a.size * 2)
+    resid = np.abs(np.asarray(resr) + 1j * np.asarray(resi))
+
+    fig, (ax0, ax1) = plt.subplots(2, 1, figsize=(16, 6), sharex=True)
+    ax0.set_title("Same-SF collision (|x|): the -10 dB frame hides under "
+                  "the strong one — a plain receiver never syncs on it")
+    ax0.plot(np.abs(coll), lw=0.4)
+    for off, lbl in ((off_a, "strong start"), (off_b, "weak start")):
+        ax0.axvline(off, color="r" if off == off_a else "g", ls="--",
+                    lw=1.0, label=lbl)
+    ax0.legend(loc="upper right")
+    ax0.grid(True)
+    decoded = [bytes(np.asarray(modem.decode(f["symbols"]))).decode()
+               for f in frames]
+    ax1.set_title("Residual after SIC peeled "
+                  f"{decoded!r} in power order: what remains is the "
+                  "cancellation floor")
+    ax1.plot(resid, lw=0.4)
+    ax1.set_ylim(0, 1.4)
+    ax1.grid(True)
+    fig.tight_layout()
+    fig.savefig(out / "modulation_explained_4_sic.png", dpi=100)
+    plt.close(fig)
+
+    print(f"wrote 4 figures to {out}")
     return 0
 
 
