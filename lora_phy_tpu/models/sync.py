@@ -64,10 +64,12 @@ def _round_half_even(x):
     return jnp.round(x).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("params", "preamble_len", "min_power_db"))
+@partial(jax.jit, static_argnames=("params", "preamble_len", "min_power_db",
+                                   "pre_acc"))
 def frame_sync_scan_planar(xr, xi, params: LoraParams,
                            preamble_len: int = 8,
-                           min_power_db: float | None = None) -> SyncScan:
+                           min_power_db: float | None = None,
+                           pre_acc: int = 1) -> SyncScan:
     """Batched two-sided dechirp frame scan over ``[..., T]`` planes.
 
     ``min_power_db`` gates candidates on the up-dechirped peak power of
@@ -75,7 +77,19 @@ def frame_sync_scan_planar(xr, xi, params: LoraParams,
     LoRaDetector.hpp:64: 0 dB = full-scale chirp) — the Pothos demod
     block's ``thresh`` property (its examples use -30 dB). Without it,
     silence and stopband leakage on quiet channels sync "perfectly"
-    (their all-equal argmax bins look like a preamble run)."""
+    (their all-equal argmax bins look like a preamble run).
+
+    ``pre_acc > 1`` turns on the multipath-robust accumulated-spectrum
+    detector: per-window |DFT|² spectra are sliding-summed over
+    ``pre_acc`` windows before the argmax, so a near-equal-power two-ray
+    channel — whose per-window argmax alternates between the two paths'
+    bins and never forms an equal-bin run (measured 18-23/25 missed
+    syncs; docs/SEMANTICS.md) — locks to the strongest path's bin. The
+    SFD pair test becomes a paired-sum dn-vs-up dominance test, and a
+    peak-concentration gate (peak >= 8x the accumulated spectrum's mean)
+    replaces the lost per-window equality selectivity against loud
+    noise. Costs full-spectrum materialisation (the default decision-
+    only scan is what the bench gates), hence opt-in."""
     n, osr, step = params.n, params.osr, params.step
     nwin = xr.shape[-1] // step
     lead = xr.shape[:-1]
@@ -97,11 +111,38 @@ def frame_sync_scan_planar(xr, xi, params: LoraParams,
 
     ur, ui = windows(ar * dr - ai * di, ar * di + ai * dr)
     vr, vi = windows(ar * dr + ai * di, ai * dr - ar * di)
-    out = argmax_bins_planar(
-        jnp.stack([ur, vr]), jnp.stack([ui, vi]), n, with_peak=True
-    )
-    (ub, db), (up_peak, dn_peak) = (out[0][0], out[0][1]), (out[1][0],
-                                                           out[1][1])
+    conc_ok = None
+    if pre_acc == 1:
+        out = argmax_bins_planar(
+            jnp.stack([ur, vr]), jnp.stack([ui, vi]), n, with_peak=True
+        )
+        (ub, db), (up_peak, dn_peak) = (out[0][0], out[0][1]), (out[1][0],
+                                                                out[1][1])
+    else:
+        from ..ops.planar import dft_mag2_planar
+
+        m = dft_mag2_planar(jnp.stack([ur, vr]), jnp.stack([ui, vi]), n)
+        m_up, m_dn = m[0], m[1]                        # [..., W, n]
+        # causal sliding sum over pre_acc windows (cumsum difference)
+        cs = jnp.cumsum(m_up, axis=-2)
+        lag = jnp.concatenate(
+            [jnp.zeros(lead + (pre_acc, n), cs.dtype),
+             cs[..., :-pre_acc, :]], axis=-2)
+        s_up = cs - lag                                # [..., W, n]
+        ub = jnp.argmax(s_up, axis=-1).astype(jnp.int32)
+        up_peak = jnp.max(s_up, axis=-1) / pre_acc     # per-window scale
+        # loud noise also forms long runs under overlapping sums (S[w]
+        # and S[w+1] share pre_acc-1 summands); require tone-like
+        # concentration: accumulated peak >= 8x the accumulated mean
+        conc_ok = up_peak * pre_acc >= 8.0 * jnp.mean(s_up, axis=-1)
+        # SFD: paired dn sums; pair-argmax replaces the equality test
+        # (the same alternation breaks db[c] == db[c+1])
+        zrow = jnp.zeros(lead + (1, n), m_dn.dtype)
+        dn2 = m_dn + jnp.concatenate([m_dn[..., 1:, :], zrow], axis=-2)
+        up2 = m_up + jnp.concatenate([m_up[..., 1:, :], zrow], axis=-2)
+        db = jnp.argmax(dn2, axis=-1).astype(jnp.int32)
+        dn_peak = jnp.max(dn2, axis=-1) / 2.0
+        up_peak_pair = jnp.max(up2, axis=-1) / 2.0
 
     # --- preamble run lengths (vectorized run-detect) ---------------------
     w_idx = jnp.arange(nwin, dtype=jnp.int32)
@@ -126,11 +167,18 @@ def frame_sync_scan_planar(xr, xi, params: LoraParams,
     # (equal-neighbor false pairs shift with harmless rounding changes).
     # Requiring dn_peak > up_peak at the pair head kills those candidates
     # (silence: 0 > 0 is False) without touching genuine frames. --------
-    dn_dom = dn_peak > up_peak
-    db_eq = jnp.concatenate(
-        [(db[..., 1:] == db[..., :-1]) & dn_dom[..., :-1],
-         jnp.zeros(lead + (1,), bool)], axis=-1
-    )                                                 # db_eq[c] = db[c]==db[c+1]
+    if pre_acc == 1:
+        dn_dom = dn_peak > up_peak
+        db_eq = jnp.concatenate(
+            [(db[..., 1:] == db[..., :-1]) & dn_dom[..., :-1],
+             jnp.zeros(lead + (1,), bool)], axis=-1
+        )                                             # db_eq[c] = db[c]==db[c+1]
+    else:
+        # paired-sum dominance stands in for the equality test (the pair
+        # argmax is one decision, there is nothing to compare)
+        db_eq = jnp.concatenate(
+            [(dn_peak > up_peak_pair)[..., :-1],
+             jnp.zeros(lead + (1,), bool)], axis=-1)
 
     def shift_left(a, o):
         pad = jnp.zeros(lead + (o,), a.dtype)
@@ -139,7 +187,9 @@ def frame_sync_scan_planar(xr, xi, params: LoraParams,
     # five static shifts (the host scan's range(end+1, end+6)) instead of
     # a dynamic gather; first-match selection is a where-chain (element
     # gathers via take_along_axis are pathologically slow on this chip —
-    # CLAUDE.md / modem._shifted_rows)
+    # CLAUDE.md / modem._shifted_rows). NOTE: with pre_acc the run end
+    # lands ~pre_acc-1 windows later, so the SFD pair must still fall in
+    # [end+1, end+5] — effective for pre_acc <= 3.
     has_dwin = jnp.zeros(lead + (nwin,), bool)
     bin_dn_raw = jnp.zeros_like(db)
     for o in range(5, 0, -1):                         # later offsets lose
@@ -171,11 +221,15 @@ def frame_sync_scan_planar(xr, xi, params: LoraParams,
 
     tau = _round_half_even((bin_dn - bin_up) / 2.0) * osr
     cfo_bins = _round_half_even((bin_dn + bin_up) / 2.0)
-    start = (w_idx - preamble_len + 1) * step + tau
+    # accumulated bins hold their value ~pre_acc-1 windows past the true
+    # run end (the sliding sum still carries preamble energy there)
+    start = (w_idx - preamble_len + 1 - (pre_acc - 1)) * step + tau
     # the run-end is fuzzy by one window (see the receivers' SFD-probe
     # disambiguation): keep a nominally-negative start alive if its
     # +step alias would be in range
     valid = is_end & has_dwin & (start + step >= 0)
+    if conc_ok is not None:
+        valid = valid & conc_ok
     if min_power_db is not None:
         power_db = (10.0 * jnp.log10(jnp.maximum(up_peak, 1e-30))
                     - 20.0 * math.log10(n))
@@ -218,11 +272,12 @@ def _kth_valid(valid, k_max: int):
 
 @partial(jax.jit, static_argnames=("params", "n_payload_symbols",
                                    "max_frames", "preamble_len",
-                                   "min_power_db"))
+                                   "min_power_db", "pre_acc"))
 def receive_block_planar(xr, xi, params: LoraParams,
                          n_payload_symbols: int, max_frames: int = 4,
                          preamble_len: int = 8,
-                         min_power_db: float | None = None) -> BlockFrames:
+                         min_power_db: float | None = None,
+                         pre_acc: int = 1) -> BlockFrames:
     """Demodulate every frame in a continuous block, fully on-device.
 
     One jit over ``[..., channels, T]`` planes: the two-sided dechirp
@@ -243,7 +298,8 @@ def receive_block_planar(xr, xi, params: LoraParams,
     T = xr.shape[-1]
 
     scan = frame_sync_scan_planar(xr, xi, params, preamble_len,
-                                  min_power_db=min_power_db)
+                                  min_power_db=min_power_db,
+                                  pre_acc=pre_acc)
     pos, found = _kth_valid(scan.valid, max_frames)           # [..., K]
 
     def pick(field):
@@ -267,14 +323,17 @@ def receive_block_planar(xr, xi, params: LoraParams,
     pre_len = preamble_len * step
     overhead = frame_overhead_samples(params, preamble_len)
     win_full = overhead + n_payload_symbols * step
-    nwin_f = win_full // step + 3        # + shift row, + alt window, margin
+    nwin_f = win_full // step + 4      # + shift row, +/- alt windows, margin
     w0 = jnp.floor_divide(start, step)   # >= -1 (scan keeps start >= -step)
     rsub = jnp.mod(start, step)
     widx = w0[..., None] + 1 + jnp.arange(nwin_f, dtype=jnp.int32)
 
     def gather_shift(plane):
         tail = (nwin_f + 2) * step + (-T) % step
-        pad = jnp.pad(plane, [(0, 0)] * (plane.ndim - 1) + [(step, tail)])
+        # front pad of 2 windows: the gathered buffer starts one window
+        # BEFORE the candidate so the probe can test the -step hypothesis
+        pad = jnp.pad(plane,
+                      [(0, 0)] * (plane.ndim - 1) + [(2 * step, tail)])
         rows = pad.reshape(*lead, -1, step)            # [..., W', step]
         idx = jnp.clip(widx, 0, rows.shape[-2] - 1)
         g = jnp.take_along_axis(rows[..., None, :, :], idx[..., None],
@@ -286,26 +345,27 @@ def receive_block_planar(xr, xi, params: LoraParams,
             sh = jnp.concatenate(
                 [x[..., k:], jnp.zeros(x.shape[:-1] + (k,), x.dtype)], -1)
             x = jnp.where(on, sh, x)
-        return x                                       # x[t] = stream[start+t]
+        return x                                # x[t] = stream[start-step+t]
 
     gr_, gi_ = gather_shift(xr), gather_shift(xi)
 
-    # --- run-end disambiguation (start vs start + step) -----------------
-    # The preamble run-end is fuzzy by one window whenever the frame's
+    # --- run-end disambiguation (start - step / start / start + step) ---
+    # The preamble run-end is fuzzy by a window whenever the frame's
     # arrival phase puts a window boundary near the middle of a symbol:
-    # the mixed preamble|sync window's argmax is a near-coin-flip, and
-    # since `start` is derived from the run-END window, losing that flip
-    # reports the frame one whole symbol early (tau itself stays right —
-    # at an arrival phase of EXACTLY step/2 it additionally sign-aliases,
-    # the worst case). The true start is always `start` or `start+step`.
-    # Resolve with a 2-window probe per hypothesis: at the TRUE start,
-    # window 9 is the second sync UPCHIRP and window 10 the first full
-    # SFD DOWNCHIRP, so up-dechirping one and down-dechirping the other
-    # both concentrate (peak magnitude is CFO-invariant); a start one
-    # symbol off loses one of the two (probing the SFD window alone
-    # would tie: windows 10 AND 11 are both downchirps, and under noise
-    # the tie is a coin flip). Probes are static slices of the gathered
-    # buffer — cheap enough to run for EVERY frame.
+    # the mixed preamble|sync boundary window's argmax is a near-coin-
+    # flip, and since `start` is derived from the run-END window, losing
+    # the flip reports the frame a whole symbol early or late (tau stays
+    # right — at an arrival phase of EXACTLY step/2 it additionally
+    # sign-aliases, the worst case; accumulated scans smear the boundary
+    # both ways). Resolve with a 2-window probe per hypothesis: at the
+    # TRUE start, window 9 is the second sync UPCHIRP and window 10 the
+    # first full SFD DOWNCHIRP, so up-dechirping one and down-dechirping
+    # the other both concentrate (peak magnitude is CFO-invariant); a
+    # start one symbol off loses one of the two (probing the SFD window
+    # alone would tie: windows 10 AND 11 are both downchirps, and under
+    # noise the tie is a coin flip). Probes are static slices of the
+    # gathered buffer — cheap enough to run for EVERY frame. Ties prefer
+    # the reported start (stack order below).
     dr0, di0 = base_downchirp_planar(params.sf, params.scale, params.osr)
     dr0, di0 = jnp.asarray(dr0), jnp.asarray(di0)
 
@@ -321,12 +381,16 @@ def receive_block_planar(xr, xi, params: LoraParams,
         _, pk = argmax_bins_planar(ur, ui, n, with_peak=True)
         return pk
 
-    def hyp_score(off):
-        return (_probe(off + (preamble_len + 1) * step, down=False)
-                + _probe(off + (preamble_len + 2) * step, down=True))
+    def hyp_score(boff):
+        return (_probe(boff + (preamble_len + 1) * step, down=False)
+                + _probe(boff + (preamble_len + 2) * step, down=True))
 
-    use_alt = hyp_score(step) > hyp_score(0)
-    start = jnp.where(use_alt, start + step, start)
+    # buffer offsets {step, 0, 2*step} = time offsets {0, -step, +step};
+    # argmax takes the FIRST max, so exact ties keep the reported start
+    scores = jnp.stack([hyp_score(step), hyp_score(0), hyp_score(2 * step)])
+    hyp = jnp.argmax(scores, axis=0)                   # [..., K] in {0,1,2}
+    start = start + jnp.where(hyp == 1, -step,
+                              jnp.where(hyp == 2, step, 0))
     found = found & (start >= 0)      # unrescued negative-start alias
     # -------------------------------------------------------------------
 
@@ -340,10 +404,15 @@ def receive_block_planar(xr, xi, params: LoraParams,
     def window(buf):
         """[..., K, L] gathered stream -> [..., K, win_len]:
         preamble ++ sync (2) ++ payload, at the winning hypothesis."""
+        boff = (jnp.where(hyp == 1, 0, jnp.where(hyp == 2, 2, 1))
+                * step)[..., None]
+
         def sec(a, ln):
-            return jnp.where(use_alt[..., None],
-                             buf[..., a + step:a + step + ln],
-                             buf[..., a:a + ln])
+            early = buf[..., a:a + ln]
+            mid = buf[..., a + step:a + step + ln]
+            late = buf[..., a + 2 * step:a + 2 * step + ln]
+            return jnp.where(boff == 0, early,
+                             jnp.where(boff == 2 * step, late, mid))
 
         return jnp.concatenate(
             [sec(0, pre_len), sec(pre_len, 2 * step),
@@ -370,18 +439,63 @@ def receive_block_planar(xr, xi, params: LoraParams,
                               demodulate_spectrum_planar,
                               estimate_preamble_planar)
 
-    cfo_resid = estimate_preamble_planar(
-        yr[..., :pre_len], yi[..., :pre_len], n, osr,
-        phase_step=_preamble_phase_step(params.sf, params.osr, params.scale),
-    )
+    _pps = _preamble_phase_step(params.sf, params.osr, params.scale)
+    if pre_acc == 1:
+        cfo_resid = estimate_preamble_planar(
+            yr[..., :pre_len], yi[..., :pre_len], n, osr, phase_step=_pps)
+    else:
+        # multipath-robust mode: per-window argmaxes alternate between
+        # path bins and bias the plain estimator's coarse mean by a bin
+        # or two (every decision then shifts); the common-bin variant
+        # locks to the strongest path
+        from ..ops.planar import estimate_preamble_robust_planar
+
+        cfo_resid = estimate_preamble_robust_planar(
+            yr[..., :pre_len], yi[..., :pre_len], n, osr, phase_step=_pps)
     # the spectrum variant of the same demod pipeline: decisions are the
     # argmax of mag2 (identical to demodulate_planar), and the spectra
     # yield the per-frame SNR observable (peak vs residual power, the
     # detector's dB convention, LoRaDetector.hpp:60-64)
-    mag2, sync_word, cfo, time_offset = demodulate_spectrum_planar(
-        yr[..., pre_len:], yi[..., pre_len:], params,
-        known_offsets=(cfo_resid, jnp.zeros_like(cfo_resid)),
-    )
+    if pre_acc == 1:
+        mag2, sync_word, cfo, time_offset = demodulate_spectrum_planar(
+            yr[..., pre_len:], yi[..., pre_len:], params,
+            known_offsets=(cfo_resid, jnp.zeros_like(cfo_resid)),
+        )
+    else:
+        # noncoherent path combining: correlate every symbol's |DFT|²
+        # against the frame's own accumulated preamble signature
+        # (circular cross-correlation via the DFT backend). Phase-free,
+        # so it is immune to the echo's symbol-dependent dechirped phase
+        # that makes coherent RAKE combining impossible here (CLAUDE.md
+        # dead end), and fractional CFO shifts signature and payload
+        # spectra identically, so it cancels — no derotation stage.
+        # Combining gain vs single-peak argmax: up to
+        # 10*log10(P_total/P_strongest) on a faded/echoed channel.
+        from ..ops.planar import dft_mag2_planar, dft_planar
+
+        s_tot = 2 + n_payload_symbols
+        pw_r = yr[..., :pre_len].reshape(
+            *lead, max_frames, preamble_len, n, osr)[..., 0]
+        pw_i = yi[..., :pre_len].reshape(
+            *lead, max_frames, preamble_len, n, osr)[..., 0]
+        sig = jnp.sum(dft_mag2_planar(pw_r, pw_i, n), axis=-2)
+        vw_r = yr[..., pre_len:].reshape(
+            *lead, max_frames, s_tot, n, osr)[..., 0]
+        vw_i = yi[..., pre_len:].reshape(
+            *lead, max_frames, s_tot, n, osr)[..., 0]
+        m2 = dft_mag2_planar(vw_r, vw_i, n)
+        mr, mi = dft_planar(m2, jnp.zeros_like(m2), n)
+        sr_, si_ = dft_planar(sig, jnp.zeros_like(sig), n)
+        cr_ = mr * sr_[..., None, :] + mi * si_[..., None, :]
+        ci_ = mi * sr_[..., None, :] - mr * si_[..., None, :]
+        score, _ = dft_planar(cr_, -ci_, n)    # IDFT(M*conj(S)).real * n
+        sb2 = jnp.argmax(score[..., :2, :], axis=-1).astype(jnp.int32)
+        shift = (params.sf - 4) if params.sf > 4 else 0
+        sync_word = ((((sb2[..., 0] >> shift) & 0xF) << 4)
+                     | ((sb2[..., 1] >> shift) & 0xF)).astype(jnp.uint8)
+        mag2 = score[..., 2:, :]
+        cfo = cfo_resid
+        time_offset = jnp.zeros_like(cfo_resid)
     syms = jnp.argmax(mag2, axis=-1).astype(jnp.uint16)
     peak = jnp.max(mag2, axis=-1)                          # [..., K, S]
     noise = (jnp.sum(mag2, axis=-1) - peak) / jnp.float32(n - 1)

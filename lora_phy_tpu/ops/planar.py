@@ -356,6 +356,52 @@ def estimate_preamble_planar(pr, pi, n: int, osr: int,
     return (fine + jnp.round(coarse - fine)).astype(jnp.float32)
 
 
+def estimate_preamble_robust_planar(pr, pi, n: int, osr: int,
+                                    phase_step: float = 0.0):
+    """Multipath-robust variant of :func:`estimate_preamble_planar`: one
+    COMMON bin from the accumulated preamble spectrum instead of
+    per-window argmaxes.
+
+    Under a near-equal-power two-ray channel the per-window argmax
+    alternates between the paths' bins, so the plain estimator's coarse
+    term (mean of per-window argmaxes) lands between them and shifts
+    every decision by its rounding. Here: sum the windows' |DFT|², take
+    ONE argmax (locks to the strongest path), read the fractional term
+    from the summed spectrum's neighbours, and measure the fine term as
+    the phase slope of the per-window complex DFT value AT that common
+    bin (a one-hot mask + reduction — no element gather). Returns CFO in
+    bins, [...]-shaped."""
+    lead = pr.shape[:-1]
+    s = pr.shape[-1] // (n * osr)
+    vr = pr[..., : s * n * osr].reshape(*lead, s, n, osr)[..., 0]
+    vi = pi[..., : s * n * osr].reshape(*lead, s, n, osr)[..., 0]
+    fr, fi = dft_planar(vr, vi, n)                      # [..., S, n]
+    mag2 = fr * fr + fi * fi
+    acc = jnp.sum(mag2, axis=-2)                        # [..., n]
+    b = jnp.argmax(acc, axis=-1)                        # [...]
+    onehot = (jnp.arange(n) == b[..., None]).astype(fr.dtype)   # [..., n]
+
+    def at(off):
+        oh = jnp.roll(onehot, off, axis=-1)
+        return jnp.sum(acc * oh, axis=-1)
+
+    peak, left, right = at(0), at(-1), at(1)
+    frac = 0.5 * (right - left) / jnp.maximum(
+        2.0 * peak - right - left, 1e-30)               # detector convention
+    sb = jnp.where(b > n // 2, b - n, b).astype(jnp.float32)
+    coarse = sb + frac
+
+    pre = fr * onehot[..., None, :]
+    pim = fi * onehot[..., None, :]
+    re_b = jnp.sum(pre, axis=-1)                        # [..., S]
+    im_b = jnp.sum(pim, axis=-1)
+    phase = jnp.arctan2(im_b, re_b).astype(jnp.float32)
+    d = phase[..., 1:] - phase[..., :-1] - jnp.float32(phase_step)
+    d = jnp.mod(d + math.pi, _TWO_PI) - math.pi
+    fine = jnp.mean(d, axis=-1) / jnp.float32(_TWO_PI)
+    return (fine + jnp.round(coarse - fine)).astype(jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("params", "fused", "assume_normalized",
                                    "precision"))
 def demodulate_planar(xr, xi, params: LoraParams, fused: bool = False,

@@ -30,14 +30,18 @@ a quarter-stride dechirp+DFT probe instead of the full scan.
 ``--adaptive`` is gateway mode: self-describing frames (the explicit
 header carries length/CR/CRC), arbitrary payload sizes in one stream,
 per-frame CRC verification, ``--soft`` for ML soft decoding — pairs
-with ``lora-tx-stream --coded``.
+with ``lora-tx-stream --coded``. ``--robust`` enables the multipath-
+robust receive mode (accumulated-spectrum sync + noncoherent path
+combining; decodes near-equal-power two-ray channels the default
+receiver cannot, at ~1 dB AWGN sensitivity cost).
 
 Flags: ``--in=FILE|-`` ``--sf=N|auto`` ``--cr`` ``--bw`` ``--osr`` ``--sync``
 ``--format=cf32|ci16|ci8`` ``--scale`` ``--payload-len=BYTES``
 ``--block=SAMPLES`` ``--max-frames=K`` ``--thresh=DB`` ``--taps=N``
 ``--preamble=N``
 ``--checkpoint=PATH`` ``--sic`` ``--invert-iq`` ``--cad`` ``--adaptive``
-``--soft`` ``--json`` (one JSON object per frame on stdout) ``--quiet``
+``--soft`` ``--json`` (one JSON object per frame on stdout) ``--robust``
+``--quiet``
 """
 
 from __future__ import annotations
@@ -80,6 +84,7 @@ def main(argv=None) -> int:
         "adaptive": (None, False),
         "soft": (None, False),
         "json": (None, False),
+        "robust": (None, False),      # multipath-robust receive (pre_acc=3)
     })
     if flags["format"] not in _FORMATS:
         print(f"Unknown --format={flags['format']}", file=sys.stderr)
@@ -293,6 +298,7 @@ def main(argv=None) -> int:
                     buf_re, buf_im, p, n_payload_symbols,
                     max_frames=flags["max-frames"], preamble_len=npre,
                     min_power_db=flags["thresh"],
+                    pre_acc=3 if flags["robust"] else 1,
                 )
                 for row in sync.block_rows(blk):
                     report(row, p, 0, buf_base)

@@ -519,3 +519,73 @@ def test_receive_block_high_sf_four_step_path(sf):
     assert rows[0]["sync"] == p.sync_word
     np.testing.assert_array_equal(
         np.asarray(modem.decode(rows[0]["symbols"])), pl)
+
+
+def test_robust_mode_clean_parity():
+    """pre_acc=3 matches the default receiver exactly on a clean frame
+    (same start, same symbols, same sync)."""
+    p = LoraParams(sf=7)
+    rng = np.random.RandomState(25)
+    pl = rng.randint(0, 256, 8).astype(np.uint8)
+    iq = _frame(p, pl)
+    s = _place([(iq, 3 * p.step + 50)], iq.size + 8 * p.step)
+    re, im = planar.split_complex(s)
+    r1 = sync.block_rows(sync.receive_block_planar(
+        re, im, p, 16, min_power_db=-30.0))
+    r3 = sync.block_rows(sync.receive_block_planar(
+        re, im, p, 16, min_power_db=-30.0, pre_acc=3))
+    assert len(r1) == len(r3) == 1
+    assert r3[0]["start"] == r1[0]["start"] == 3 * p.step + 50
+    np.testing.assert_array_equal(r3[0]["symbols"], r1[0]["symbols"])
+    assert r3[0]["sync"] == r1[0]["sync"] == p.sync_word
+
+
+def test_robust_mode_decodes_two_ray_channel():
+    """The near-equal-power two-ray channel that defeats the default
+    receiver (per-window argmax alternation — docs/SEMANTICS.md): the
+    robust mode (accumulated-spectrum sync, common-bin CFO, noncoherent
+    path combining) decodes the large majority where plain decodes
+    almost nothing."""
+    import jax
+    from lora_phy_tpu.ops.impair import apply_awgn, apply_multipath
+
+    p = LoraParams(sf=7)
+    rng = np.random.RandomState(26)
+    pl = rng.randint(0, 256, 8).astype(np.uint8)
+    iq = _frame(p, pl)
+    s = np.zeros(3 * p.step + iq.size + 4 * p.step, np.complex64)
+    s[3 * p.step: 3 * p.step + iq.size] = iq
+    taps = np.array([1.0, 0, 0, 0.95 * np.exp(2.0j)], np.complex64)
+
+    got = {1: 0, 3: 0}
+    trials = 15
+    for t in range(trials):
+        y = apply_multipath(s, taps)
+        y = np.asarray(apply_awgn(jax.random.PRNGKey(4000 + t), y, 5.0))
+        re, im = planar.split_complex(y)
+        for acc in (1, 3):
+            for r in sync.block_rows(sync.receive_block_planar(
+                    re, im, p, 16, min_power_db=-30.0, pre_acc=acc)):
+                if (abs(r["start"] - 3 * p.step) <= p.step
+                        and np.array_equal(
+                            np.asarray(modem.decode(r["symbols"])), pl)):
+                    got[acc] += 1
+                    break
+    assert got[3] >= 11, got     # robust recovers the large majority
+    assert got[1] <= 4, got      # the default receiver cannot
+
+
+def test_robust_mode_rejects_loud_noise():
+    """Accumulated sums correlate across windows (overlapping summands),
+    so loud noise forms long equal-bin runs — the concentration gate must
+    reject them."""
+    import jax
+    from lora_phy_tpu.ops.impair import apply_awgn
+
+    p = LoraParams(sf=7)
+    noise = np.asarray(apply_awgn(
+        jax.random.PRNGKey(99), np.zeros(20000, np.complex64), 0.0))
+    re, im = planar.split_complex(noise)
+    blk = sync.receive_block_planar(re, im, p, 16, min_power_db=-30.0,
+                                    pre_acc=3)
+    assert sync.block_rows(blk) == []
