@@ -17,6 +17,9 @@ Figure 2: dechirped symbols (each chirp collapses to a constant tone) +
           |DFT|^2 spectra (the tone index IS the symbol).
 Figure 3: a full frame (preamble / sync / 2.25 downchirps / payload) as
           a dechirped-bin timeline — what the frame synchroniser sees.
+Figure 4: a same-SF collision before and after the SIC receiver peels
+          the frames in power order (the residual is the cancellation
+          floor).
 """
 
 import pathlib
@@ -157,8 +160,8 @@ def main(outdir: str | None = None) -> int:
                     lw=1.0, label=lbl)
     ax0.legend(loc="upper right")
     ax0.grid(True)
-    decoded = [bytes(np.asarray(modem.decode(f["symbols"]))).decode()
-               for f in frames]
+    decoded = [bytes(np.asarray(modem.decode(f["symbols"]))).decode(
+        errors="replace") for f in frames]
     ax1.set_title("Residual after SIC peeled "
                   f"{decoded!r} in power order: what remains is the "
                   "cancellation floor")

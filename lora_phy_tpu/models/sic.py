@@ -98,7 +98,7 @@ def cancel_frame_planar(xr, xi, symbols, start, cfo_total,
 def receive_sic_planar(xr, xi, params: LoraParams, n_payload_symbols: int,
                        max_frames: int = 4, preamble_len: int = 8,
                        min_power_db: float | None = -30.0,
-                       max_iters: int = 4):
+                       max_iters: int = 4, pre_acc: int = 1):
     """Iterative collision receiver over single-channel ``[T]`` planes.
 
     Each pass demodulates the block, records the strongest not-yet-peeled
@@ -119,7 +119,8 @@ def receive_sic_planar(xr, xi, params: LoraParams, n_payload_symbols: int,
     for it in range(max_iters):
         blk = receive_block_planar(xr, xi, params, n_payload_symbols,
                                    max_frames, preamble_len,
-                                   min_power_db=min_power_db)
+                                   min_power_db=min_power_db,
+                                   pre_acc=pre_acc)
         rows = [r for r in block_rows(blk)
                 if all(abs(r["start"] - d["start"]) > guard for d in decoded)]
         if not rows:

@@ -119,16 +119,27 @@ def frame_sync_scan_planar(xr, xi, params: LoraParams,
         (ub, db), (up_peak, dn_peak) = (out[0][0], out[0][1]), (out[1][0],
                                                                 out[1][1])
     else:
+        if not 2 <= pre_acc <= 3:
+            raise ValueError(
+                "pre_acc must be 1 (off) or 2..3: the SFD pair search and "
+                f"the 3-hypothesis start probe only cover the run-end smear "
+                f"of accumulations up to 3 windows (got {pre_acc})")
         from ..ops.planar import dft_mag2_planar
 
         m = dft_mag2_planar(jnp.stack([ur, vr]), jnp.stack([ui, vi]), n)
         m_up, m_dn = m[0], m[1]                        # [..., W, n]
-        # causal sliding sum over pre_acc windows (cumsum difference)
-        cs = jnp.cumsum(m_up, axis=-2)
-        lag = jnp.concatenate(
-            [jnp.zeros(lead + (pre_acc, n), cs.dtype),
-             cs[..., :-pre_acc, :]], axis=-2)
-        s_up = cs - lag                                # [..., W, n]
+
+        def lagged(x, j):
+            """x shifted j window-rows later (leading zeros), any nwin."""
+            z = jnp.zeros(lead + (min(j, nwin), n), x.dtype)
+            return jnp.concatenate([z, x], axis=-2)[..., :nwin, :]
+
+        # causal sliding sum over pre_acc windows as pre_acc-1 shifted
+        # adds (no cumsum: its difference form loses precision on long
+        # blocks — the running sum grows while the window sum does not)
+        s_up = m_up
+        for j in range(1, pre_acc):
+            s_up = s_up + lagged(m_up, j)
         ub = jnp.argmax(s_up, axis=-1).astype(jnp.int32)
         up_peak = jnp.max(s_up, axis=-1) / pre_acc     # per-window scale
         # loud noise also forms long runs under overlapping sums (S[w]
@@ -443,15 +454,18 @@ def receive_block_planar(xr, xi, params: LoraParams,
     if pre_acc == 1:
         cfo_resid = estimate_preamble_planar(
             yr[..., :pre_len], yi[..., :pre_len], n, osr, phase_step=_pps)
+        sig = None
     else:
         # multipath-robust mode: per-window argmaxes alternate between
         # path bins and bias the plain estimator's coarse mean by a bin
         # or two (every decision then shifts); the common-bin variant
-        # locks to the strongest path
+        # locks to the strongest path. The accumulated spectrum doubles
+        # as the combining signature below (one DFT pass, shared).
         from ..ops.planar import estimate_preamble_robust_planar
 
-        cfo_resid = estimate_preamble_robust_planar(
-            yr[..., :pre_len], yi[..., :pre_len], n, osr, phase_step=_pps)
+        cfo_resid, sig = estimate_preamble_robust_planar(
+            yr[..., :pre_len], yi[..., :pre_len], n, osr, phase_step=_pps,
+            return_acc=True)
     # the spectrum variant of the same demod pipeline: decisions are the
     # argmax of mag2 (identical to demodulate_planar), and the spectra
     # yield the per-frame SNR observable (peak vs residual power, the
@@ -474,11 +488,6 @@ def receive_block_planar(xr, xi, params: LoraParams,
         from ..ops.planar import dft_mag2_planar, dft_planar
 
         s_tot = 2 + n_payload_symbols
-        pw_r = yr[..., :pre_len].reshape(
-            *lead, max_frames, preamble_len, n, osr)[..., 0]
-        pw_i = yi[..., :pre_len].reshape(
-            *lead, max_frames, preamble_len, n, osr)[..., 0]
-        sig = jnp.sum(dft_mag2_planar(pw_r, pw_i, n), axis=-2)
         vw_r = yr[..., pre_len:].reshape(
             *lead, max_frames, s_tot, n, osr)[..., 0]
         vw_i = yi[..., pre_len:].reshape(
@@ -497,8 +506,12 @@ def receive_block_planar(xr, xi, params: LoraParams,
         cfo = cfo_resid
         time_offset = jnp.zeros_like(cfo_resid)
     syms = jnp.argmax(mag2, axis=-1).astype(jnp.uint16)
-    peak = jnp.max(mag2, axis=-1)                          # [..., K, S]
-    noise = (jnp.sum(mag2, axis=-1) - peak) / jnp.float32(n - 1)
+    # the SNR observable keeps the detector's |DFT|² dB convention in
+    # BOTH modes (correlation scores carry a signature-dependent scale
+    # and baseline, so they are not comparable across runs)
+    snr_src = m2[..., 2:, :] if pre_acc > 1 else mag2
+    peak = jnp.max(snr_src, axis=-1)                       # [..., K, S]
+    noise = (jnp.sum(snr_src, axis=-1) - peak) / jnp.float32(n - 1)
     snr_db = 10.0 * jnp.log10(
         jnp.mean(peak, axis=-1) / jnp.maximum(jnp.mean(noise, axis=-1), 1e-30)
     )
@@ -579,7 +592,8 @@ def receive_blind_planar(xr, xi, base_params: LoraParams,
                          n_payload_symbols: int,
                          sfs=(7, 8, 9, 10, 11, 12), max_frames: int = 4,
                          preamble_len: int = 8,
-                         min_power_db: float | None = -30.0):
+                         min_power_db: float | None = -30.0,
+                         pre_acc: int = 1):
     """Blind spreading-factor receive: run the device-side block receiver
     at every candidate SF over the SAME ``[..., T]`` planes and return
     ``{sf: BlockFrames}``.
@@ -606,7 +620,7 @@ def receive_blind_planar(xr, xi, base_params: LoraParams,
             continue
         out[sf] = receive_block_planar(
             xr, xi, p, n_payload_symbols, max_frames, preamble_len,
-            min_power_db,
+            min_power_db, pre_acc=pre_acc,
         )
     return out
 
@@ -640,12 +654,14 @@ def blind_frames(results) -> list[dict]:
 
 @partial(jax.jit, static_argnames=("k", "params", "n_payload_symbols",
                                    "max_frames", "preamble_len",
-                                   "taps_per_branch", "min_power_db"))
+                                   "taps_per_branch", "min_power_db",
+                                   "pre_acc"))
 def receive_wideband_planar(xr, xi, k: int, params: LoraParams,
                             n_payload_symbols: int, max_frames: int = 4,
                             preamble_len: int = 8,
                             taps_per_branch: int = 7,
-                            min_power_db: float | None = -30.0) -> BlockFrames:
+                            min_power_db: float | None = -30.0,
+                            pre_acc: int = 1) -> BlockFrames:
     """One-call wideband receiver, fully on-device: polyphase-channelize a
     ``[..., T]`` wideband stream into ``k`` sub-channels and run the
     batched block receiver on every channel in the same program.
@@ -658,4 +674,4 @@ def receive_wideband_planar(xr, xi, k: int, params: LoraParams,
     cr, ci = channelize_planar(xr, xi, k, taps_per_branch)
     return receive_block_planar(cr, ci, params, n_payload_symbols,
                                 max_frames, preamble_len,
-                                min_power_db=min_power_db)
+                                min_power_db=min_power_db, pre_acc=pre_acc)

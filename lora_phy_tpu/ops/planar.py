@@ -357,7 +357,8 @@ def estimate_preamble_planar(pr, pi, n: int, osr: int,
 
 
 def estimate_preamble_robust_planar(pr, pi, n: int, osr: int,
-                                    phase_step: float = 0.0):
+                                    phase_step: float = 0.0,
+                                    return_acc: bool = False):
     """Multipath-robust variant of :func:`estimate_preamble_planar`: one
     COMMON bin from the accumulated preamble spectrum instead of
     per-window argmaxes.
@@ -370,7 +371,9 @@ def estimate_preamble_robust_planar(pr, pi, n: int, osr: int,
     from the summed spectrum's neighbours, and measure the fine term as
     the phase slope of the per-window complex DFT value AT that common
     bin (a one-hot mask + reduction — no element gather). Returns CFO in
-    bins, [...]-shaped."""
+    bins, [...]-shaped; ``return_acc=True`` additionally returns the
+    accumulated |DFT|² spectrum (the multipath signature — callers reuse
+    it instead of re-DFT-ing the same windows)."""
     lead = pr.shape[:-1]
     s = pr.shape[-1] // (n * osr)
     vr = pr[..., : s * n * osr].reshape(*lead, s, n, osr)[..., 0]
@@ -383,7 +386,9 @@ def estimate_preamble_robust_planar(pr, pi, n: int, osr: int,
 
     def at(off):
         oh = jnp.roll(onehot, off, axis=-1)
-        return jnp.sum(acc * oh, axis=-1)
+        # detector convention interpolates MAGNITUDES (detect_planar
+        # takes sqrt of |.|² first), not powers
+        return jnp.sqrt(jnp.sum(acc * oh, axis=-1))
 
     peak, left, right = at(0), at(-1), at(1)
     frac = 0.5 * (right - left) / jnp.maximum(
@@ -399,7 +404,10 @@ def estimate_preamble_robust_planar(pr, pi, n: int, osr: int,
     d = phase[..., 1:] - phase[..., :-1] - jnp.float32(phase_step)
     d = jnp.mod(d + math.pi, _TWO_PI) - math.pi
     fine = jnp.mean(d, axis=-1) / jnp.float32(_TWO_PI)
-    return (fine + jnp.round(coarse - fine)).astype(jnp.float32)
+    cfo = (fine + jnp.round(coarse - fine)).astype(jnp.float32)
+    if return_acc:
+        return cfo, acc
+    return cfo
 
 
 @partial(jax.jit, static_argnames=("params", "fused", "assume_normalized",

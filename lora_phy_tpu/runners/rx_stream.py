@@ -106,6 +106,10 @@ def main(argv=None) -> int:
         print("--soft applies to --adaptive (header-driven coded frames)",
               file=sys.stderr)
         return 1
+    if flags["robust"] and flags["adaptive"]:
+        print("--robust applies to the block receive paths, not "
+              "--adaptive (serial header-driven sync)", file=sys.stderr)
+        return 1
     import dataclasses
 
     blind = flags["sf"] == "auto"
@@ -276,6 +280,7 @@ def main(argv=None) -> int:
                     max_frames=flags["max-frames"], preamble_len=npre,
                     taps_per_branch=flags["taps"],
                     min_power_db=flags["thresh"],
+                    pre_acc=3 if flags["robust"] else 1,
                 )
                 for chan in range(kch):
                     sub = sync.BlockFrames(*(f[chan] for f in blk))
@@ -290,6 +295,7 @@ def main(argv=None) -> int:
                     max_frames=flags["max-frames"], preamble_len=npre,
                     min_power_db=flags["thresh"],
                     max_iters=flags["max-frames"],
+                    pre_acc=3 if flags["robust"] else 1,
                 )
                 for row in rows:
                     report(row, p, 0, buf_base)
