@@ -589,3 +589,42 @@ def test_robust_mode_rejects_loud_noise():
     blk = sync.receive_block_planar(re, im, p, 16, min_power_db=-30.0,
                                     pre_acc=3)
     assert sync.block_rows(blk) == []
+
+
+def test_robust_mode_composes_with_sic_and_wideband():
+    """pre_acc=3 plumbs through the SIC and wideband receivers (clean
+    signals: parity with their default-mode answers)."""
+    from lora_phy_tpu.models import sic
+    from lora_phy_tpu.ops.channelizer import synthesize_channels_planar
+
+    p = LoraParams(sf=7)
+    rng = np.random.RandomState(27)
+    pay_a = rng.randint(0, 256, 4).astype(np.uint8)
+    pay_b = rng.randint(0, 256, 4).astype(np.uint8)
+    fa = _frame(p, pay_a)
+    fb = 0.3 * _frame(p, pay_b)
+    s = np.zeros(2 * p.step + fb.size + 5 * p.step + fb.size, np.complex64)
+    s[2 * p.step: 2 * p.step + fa.size] += fa
+    s[7 * p.step: 7 * p.step + fb.size] += fb
+    re, im = planar.split_complex(s)
+    frames, _ = sic.receive_sic_planar(re, im, p, 8, pre_acc=3)
+    assert [f["start"] for f in frames] == [2 * p.step, 7 * p.step]
+    for f, pay in zip(frames, (pay_a, pay_b)):
+        np.testing.assert_array_equal(
+            np.asarray(modem.decode(f["symbols"])), pay)
+
+    k = 4
+    chans = np.zeros((k, fa.size + 4000), np.complex64)
+    chans[1, 700: 700 + fa.size] = fa
+    wr, wi = synthesize_channels_planar(
+        chans.real.astype(np.float32), chans.imag.astype(np.float32), k,
+        taps_per_branch=15)
+    blk = sync.receive_wideband_planar(
+        np.asarray(wr), np.asarray(wi), k, p, 8, taps_per_branch=15,
+        min_power_db=-15.0, pre_acc=3)
+    found = np.asarray(blk.found)
+    assert found[1].any() and not found[[0, 2, 3]].any()
+    kk = int(np.flatnonzero(found[1])[0])
+    assert int(np.asarray(blk.start)[1, kk]) == 700
+    np.testing.assert_array_equal(
+        np.asarray(modem.decode(np.asarray(blk.symbols)[1, kk])), pay_a)
