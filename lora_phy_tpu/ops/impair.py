@@ -134,6 +134,60 @@ def apply_multipath_planar(xr, xi, taps_re, taps_im):
     return yr, yi
 
 
+def apply_frontend(samples, dc=0.0, gain_imbalance: float = 1.0,
+                   phase_skew_deg: float = 0.0):
+    """Analog front-end defects of a real SDR: complex DC offset (LO
+    leakage) and IQ imbalance (quadrature gain/phase mismatch):
+
+        I' = I + re(dc)
+        Q' = g * (Q * cos(phi) + I * sin(phi)) + im(dc)
+
+    An imbalance makes the receiver see ``a*x + b*conj(x)`` — the image
+    of every chirp leaks in mirrored — and the DC spur sits at the
+    carrier. The reference models neither."""
+    phi = math.radians(phase_skew_deg)
+    i = jnp.real(samples)
+    q = jnp.imag(samples)
+    q2 = gain_imbalance * (q * math.cos(phi) + i * math.sin(phi))
+    dc = complex(dc)
+    return jax.lax.complex(i + dc.real, q2 + dc.imag)
+
+
+def estimate_frontend_planar(xr, xi):
+    """Blind front-end estimation from signal statistics
+    (Moseley/Slump-style): a proper (circular) complex baseband signal
+    has ``E[I] = E[Q] = 0``, ``E[I²] = E[Q²]`` and ``E[IQ] = 0``; chirps
+    satisfy this over whole sweeps. Returns
+    ``(dc_i, dc_q, gain, sin_phi)`` with the
+    :func:`apply_frontend` parameterisation (I' = I, Q' = g*(Q cos +
+    I sin)): ``sin_phi = E[I'Q']/(E[I'²] g cos)`` solved via
+    ``theta = E[I'Q']/E[I'²]``, ``g² = E[Q'²]/E[I'²] `` decomposed."""
+    dc_i = jnp.mean(xr, axis=-1, keepdims=True)
+    dc_q = jnp.mean(xi, axis=-1, keepdims=True)
+    i = xr - dc_i
+    q = xi - dc_q
+    eii = jnp.mean(i * i, axis=-1)
+    eiq = jnp.mean(i * q, axis=-1)
+    eqq = jnp.mean(q * q, axis=-1)
+    # Q' = g(Q cos + I sin): E[I'Q'] = g sin E[I²]; E[Q'²] =
+    # g²(cos² E[Q²] + sin² E[I²]) with E[Q²]=E[I²] -> g² = E[Q'²]/E[I²]
+    g = jnp.sqrt(jnp.maximum(eqq / jnp.maximum(eii, 1e-30), 1e-12))
+    sin_phi = eiq / jnp.maximum(eii * g, 1e-30)
+    return (dc_i[..., 0], dc_q[..., 0], g,
+            jnp.clip(sin_phi, -0.999, 0.999))
+
+
+def compensate_frontend_planar(xr, xi, dc_i, dc_q, g, sin_phi):
+    """Invert :func:`apply_frontend` from
+    :func:`estimate_frontend_planar`'s parameters:
+    ``I = I' - dc_i``, ``Q = ((Q' - dc_q)/g - I sin)/cos``."""
+    cos_phi = jnp.sqrt(1.0 - sin_phi * sin_phi)
+    i = xr - dc_i[..., None]
+    q = ((xi - dc_q[..., None]) / g[..., None]
+         - i * sin_phi[..., None]) / cos_phi[..., None]
+    return i, q
+
+
 def rayleigh_taps(key, delays, pdp_db):
     """Random Rayleigh multipath taps on integer sample ``delays`` with a
     power-delay profile ``pdp_db`` (dB, same length), normalized to unit
