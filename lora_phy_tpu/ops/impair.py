@@ -173,8 +173,13 @@ def estimate_frontend_planar(xr, xi):
     # g²(cos² E[Q²] + sin² E[I²]) with E[Q²]=E[I²] -> g² = E[Q'²]/E[I²]
     g = jnp.sqrt(jnp.maximum(eqq / jnp.maximum(eii, 1e-30), 1e-12))
     sin_phi = eiq / jnp.maximum(eii * g, 1e-30)
-    return (dc_i[..., 0], dc_q[..., 0], g,
-            jnp.clip(sin_phi, -0.999, 0.999))
+    # (near-)silent input carries no statistics: return identity instead
+    # of a degenerate g ~ 0 that would blow up the compensator
+    quiet = eii < 1e-9
+    g = jnp.where(quiet, 1.0, g)
+    sin_phi = jnp.where(quiet, 0.0, jnp.clip(sin_phi, -0.999, 0.999))
+    return (jnp.where(quiet, 0.0, dc_i[..., 0]),
+            jnp.where(quiet, 0.0, dc_q[..., 0]), g, sin_phi)
 
 
 def compensate_frontend_planar(xr, xi, dc_i, dc_q, g, sin_phi):

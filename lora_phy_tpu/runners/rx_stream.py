@@ -41,6 +41,7 @@ Flags: ``--in=FILE|-`` ``--sf=N|auto`` ``--cr`` ``--bw`` ``--osr`` ``--sync``
 ``--preamble=N``
 ``--checkpoint=PATH`` ``--sic`` ``--invert-iq`` ``--cad`` ``--adaptive``
 ``--soft`` ``--json`` (one JSON object per frame on stdout) ``--robust``
+``--frontend-correct`` (blind per-block DC/IQ-imbalance correction)
 ``--quiet``
 """
 
@@ -85,6 +86,7 @@ def main(argv=None) -> int:
         "soft": (None, False),
         "json": (None, False),
         "robust": (None, False),      # multipath-robust receive (pre_acc=3)
+        "frontend-correct": (None, False),
     })
     if flags["format"] not in _FORMATS:
         print(f"Unknown --format={flags['format']}", file=sys.stderr)
@@ -319,6 +321,15 @@ def main(argv=None) -> int:
             re, im = runtime.to_planar(arr, flags["scale"])
             if flags["invert-iq"]:
                 im = -im     # LoRaWAN-downlink convention (conjugate input)
+            if flags["frontend-correct"]:
+                # blind per-block DC/IQ-imbalance correction (identity on
+                # silent blocks — the estimator guards its statistics)
+                from ..ops.impair import (compensate_frontend_planar,
+                                          estimate_frontend_planar)
+
+                cr, ci = compensate_frontend_planar(
+                    re, im, *estimate_frontend_planar(re, im))
+                re, im = np.asarray(cr), np.asarray(ci)
             # a short tail chunk is processed unpadded (one extra jit
             # trace at most, and the carry stays exactly the real stream
             # so --checkpoint resume is gap-free)

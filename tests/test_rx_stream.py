@@ -511,3 +511,36 @@ def test_rx_stream_json_output(tmp_path, capfd, frames_fixture):
     (rec,) = [jsonlib.loads(l) for l in out.splitlines() if l.strip()]
     assert rec["payload"] == "beef" and rec["crc"] == "ok"
     assert rec["len"] == 2 and rec["cr"] == "4/5"
+
+
+def test_rx_stream_frontend_correct(tmp_path, capfd):
+    """--frontend-correct: an IQ-imbalanced + DC-offset capture whose
+    SIC-buried weak frame only decodes after blind correction."""
+    from lora_phy_tpu.ops.impair import apply_frontend
+
+    p = LoraParams(sf=7)
+    rng = np.random.RandomState(2)
+    pay_a = rng.randint(0, 256, 6).astype(np.uint8)
+    pay_b = rng.randint(0, 256, 6).astype(np.uint8)
+    fa = np.asarray(stream.frame_modulate(
+        np.asarray(modem.encode(pay_a), np.int32), p))
+    fb = 0.07 * np.asarray(stream.frame_modulate(
+        np.asarray(modem.encode(pay_b), np.int32), p))
+    s = np.zeros(7 * p.step + fb.size + 4 * p.step, np.complex64)
+    s[2 * p.step: 2 * p.step + fa.size] += fa
+    s[7 * p.step: 7 * p.step + fb.size] += fb.astype(np.complex64)
+    bad = np.asarray(apply_frontend(s, dc=0.05 - 0.03j,
+                                    gain_imbalance=1.2,
+                                    phase_skew_deg=6.0))
+    path = tmp_path / "fe.iq"
+    path.write_bytes(_interleave(bad))
+    args = [f"--in={path}", "--sf=7", "--payload-len=6", "--sic"]
+
+    assert rx_stream.main(args) == 0
+    raw_out, _ = capfd.readouterr()
+    assert f"payload={pay_b.tobytes().hex()}" not in raw_out
+
+    assert rx_stream.main(args + ["--frontend-correct"]) == 0
+    out, _ = capfd.readouterr()
+    assert f"payload={pay_a.tobytes().hex()}" in out
+    assert f"payload={pay_b.tobytes().hex()}" in out
