@@ -238,3 +238,32 @@ def test_tx_continuous_chirp_flag(tmp_path):
     ref = read_iq(a)
     cont = read_iq(c)
     assert cont.size == 2 * ref.size and not np.array_equal(cont[::2], ref)
+
+
+def test_scope_runner(tmp_path, capfd):
+    """lora-scope writes a two-panel waterfall PNG and annotates the
+    frames the device-side scan finds."""
+    import numpy as np
+
+    from lora_phy_tpu.models import modem, stream
+    from lora_phy_tpu.runners import scope
+    from lora_phy_tpu.utils.params import LoraParams
+
+    p = LoraParams(sf=7)
+    pay = np.arange(8, dtype=np.uint8)
+    fr = np.asarray(stream.frame_modulate(
+        np.asarray(modem.encode(pay), np.int32), p))
+    sig = np.zeros(3 * p.step + fr.size + 4 * p.step, np.complex64)
+    sig[3 * p.step: 3 * p.step + fr.size] = fr
+    iqf = tmp_path / "cap.iq"
+    inter = np.empty(sig.size * 2, np.float32)
+    inter[0::2], inter[1::2] = sig.real, sig.imag
+    iqf.write_bytes(inter.tobytes())
+
+    out = tmp_path / "scope.png"
+    rc = scope.main([f"--in={iqf}", "--sf=7", "--payload-len=8",
+                     f"--out={out}"])
+    _, err = capfd.readouterr()
+    assert rc == 0 and out.exists() and out.stat().st_size > 10000
+    assert "(1 frames annotated)" in err
+    assert scope.main(["--sf=7"]) == 1        # missing --in
