@@ -17,10 +17,11 @@ one jit compilation for the whole run. ``--checkpoint=PATH`` persists the
 carry/position/dedupe state across invocations (resume mid-stream).
 ``--sf=auto`` runs blind spreading-factor detection: the same buffer is
 scanned at SF7-12 (models/sync.receive_blind_planar) and each frame line
-carries its detected ``sf=N``. ``--sic`` switches the fixed-SF
-single-channel path to the collision receiver (models/sic.py):
-overlapping same-SF frames are peeled in power order and each line
-carries its ``sic=PASS``.
+carries its detected ``sf=N``. ``--sic`` switches to the
+collision receiver (models/sic.py): overlapping same-SF frames are
+peeled in power order and each line carries its ``sic=PASS``; with
+``--channels=K`` the peel runs per sub-channel after the polyphase
+analysis bank.
 
 ``--invert-iq`` conjugates the input — receive LoRaWAN-downlink
 (IQ-inverted) frames; an un-inverted receiver never locks on them.
@@ -91,9 +92,8 @@ def main(argv=None) -> int:
     if flags["format"] not in _FORMATS:
         print(f"Unknown --format={flags['format']}", file=sys.stderr)
         return 1
-    if flags["sic"] and (flags["channels"] or flags["sf"] == "auto"):
-        print("--sic requires a fixed --sf and a single channel",
-              file=sys.stderr)
+    if flags["sic"] and flags["sf"] == "auto":
+        print("--sic requires a fixed --sf", file=sys.stderr)
         return 1
     if flags["cad"] and flags["channels"]:
         print("--cad requires a single channel (the gate dechirps at the "
@@ -277,6 +277,25 @@ def main(argv=None) -> int:
                     bi = np.concatenate([buf_im, np.zeros(pad, np.float32)])
                 else:
                     br, bi = buf_re, buf_im
+                if flags["sic"]:
+                    # collision receive per sub-channel: channelize once,
+                    # then peel each channel's overlapping frames
+                    from ..ops.channelizer import channelize_planar
+
+                    cr, ci = channelize_planar(br, bi, kch, flags["taps"])
+                    cr, ci = np.asarray(cr), np.asarray(ci)
+                    for chan in range(kch):
+                        rows, _ = sic_model.receive_sic_planar(
+                            cr[chan], ci[chan], p, n_payload_symbols,
+                            max_frames=flags["max-frames"],
+                            preamble_len=npre,
+                            min_power_db=flags["thresh"],
+                            max_iters=flags["max-frames"],
+                            pre_acc=3 if flags["robust"] else 1,
+                        )
+                        for row in rows:
+                            report(row, p, chan, buf_base)
+                    continue
                 blk = sync.receive_wideband_planar(
                     br, bi, kch, p, n_payload_symbols,
                     max_frames=flags["max-frames"], preamble_len=npre,

@@ -245,10 +245,47 @@ def test_rx_stream_sic_collision(tmp_path, capfd):
 
 
 def test_rx_stream_sic_flag_conflicts(capfd):
-    assert rx_stream.main(["--sic", "--channels=4"]) == 1
     assert rx_stream.main(["--sic", "--sf=auto"]) == 1
     _, err = capfd.readouterr()
-    assert err.count("--sic requires") == 2
+    assert "--sic requires" in err
+
+
+def test_rx_stream_sic_wideband(tmp_path, capfd):
+    """--sic composes with --channels: a same-SF collision INSIDE one
+    sub-channel of a wideband stream — both frames decode with ch= tags
+    and power-ordered sic= passes."""
+    from lora_phy_tpu.ops.channelizer import synthesize_channels_planar
+
+    p = LoraParams(sf=7)
+    k = 4
+    rng = np.random.RandomState(33)
+    pay_a = rng.randint(0, 256, 6).astype(np.uint8)
+    pay_b = rng.randint(0, 256, 6).astype(np.uint8)
+    fa = np.asarray(stream.frame_modulate(
+        np.asarray(modem.encode(pay_a), np.int32), p))
+    fb = 0.25 * np.asarray(stream.frame_modulate(
+        np.asarray(modem.encode(pay_b), np.int32), p))
+    L = fa.size + 14 * p.step
+    chans = np.zeros((k, L), np.complex64)
+    chans[2, 2 * p.step: 2 * p.step + fa.size] += fa
+    chans[2, 7 * p.step: 7 * p.step + fb.size] += fb.astype(np.complex64)
+    wr, wi = synthesize_channels_planar(
+        chans.real.astype(np.float32), chans.imag.astype(np.float32), k,
+        taps_per_branch=15)
+    path = tmp_path / "wbsic.iq"
+    path.write_bytes(_interleave(np.asarray(wr) + 1j * np.asarray(wi)))
+
+    rc = rx_stream.main([f"--in={path}", "--sf=7", "--payload-len=6",
+                         f"--channels={k}", "--taps=15", "--sic",
+                         "--thresh=-15", "--block=131072"])
+    out, err = capfd.readouterr()
+    assert rc == 0 and "2 frames" in err
+    lines = [l for l in out.splitlines() if l.startswith("frame ")]
+    assert len(lines) == 2 and all("ch=2" in l for l in lines)
+    assert f"payload={pay_a.tobytes().hex()}" in lines[0]
+    assert "sic=0" in lines[0]
+    assert f"payload={pay_b.tobytes().hex()}" in lines[1]
+    assert "sic=1" in lines[1]
 
 
 def test_invert_iq_downlink_roundtrip(tmp_path, capfd):
