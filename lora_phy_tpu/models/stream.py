@@ -429,7 +429,7 @@ def frame_encode(payload, cfg, params: LoraParams, preamble_len: int = 8):
 
 
 def frame_decode_adaptive(samples, params: LoraParams, preamble_len: int = 8,
-                          soft: bool = False):
+                          soft: bool = False, ldro: bool = False):
     """Sync one frame and decode it using only the stream contents: the
     8-symbol explicit header supplies payload length, CR and CRC mode.
 
@@ -463,7 +463,9 @@ def frame_decode_adaptive(samples, params: LoraParams, preamble_len: int = 8,
     }
     if not hdr_ok or not (1 <= cr <= 4) or nbytes == 0:
         return None, info, res.start + step
-    cfg = CodedConfig(sf=params.sf, cr=cr, crc=crc_en)
+    # LDRO is channel configuration (implied by SF/BW at both ends, not
+    # signalled in the header — coded.encode_header) — the caller supplies it
+    cfg = CodedConfig(sf=params.sf, cr=cr, crc=crc_en, ldro=ldro)
     nsym = coded.payload_symbol_count(nbytes, cfg)
     if bins.shape[-1] - 8 < nsym:
         return None, {**info, "truncated": True}, 0
@@ -489,10 +491,12 @@ class AdaptiveStreamDemodulator:
     no prior knowledge of payload sizes; carries a tail between blocks."""
 
     def __init__(self, params: LoraParams, preamble_len: int = 8,
-                 max_frame_len: int | None = None, soft: bool = False):
+                 max_frame_len: int | None = None, soft: bool = False,
+                 ldro: bool = False):
         self.params = params
         self.preamble_len = preamble_len
         self.soft = soft
+        self.ldro = ldro
         # worst case: 255-byte payload + CRC at CR 4/8
         if max_frame_len is None:
             from .coded import CodedConfig
@@ -517,7 +521,8 @@ class AdaptiveStreamDemodulator:
         offset = 0
         while buf.shape[-1] - offset >= 16 * self.params.step:
             payload, info, consumed = frame_decode_adaptive(
-                buf[offset:], self.params, self.preamble_len, soft=self.soft
+                buf[offset:], self.params, self.preamble_len,
+                soft=self.soft, ldro=self.ldro,
             )
             if payload is not None:
                 frames.append((base + offset + info["start"], payload, info))

@@ -43,7 +43,7 @@ Flags: ``--in=FILE|-`` ``--sf=N|auto`` ``--cr`` ``--bw`` ``--osr`` ``--sync``
 ``--checkpoint=PATH`` ``--sic`` ``--invert-iq`` ``--cad`` ``--adaptive``
 ``--soft`` ``--json`` (one JSON object per frame on stdout) ``--robust``
 ``--frontend-correct`` (blind per-block DC/IQ-imbalance correction)
-``--quiet``
+``--ldro`` (adaptive mode: low-data-rate payloads) ``--quiet``
 """
 
 from __future__ import annotations
@@ -88,6 +88,7 @@ def main(argv=None) -> int:
         "json": (None, False),
         "robust": (None, False),      # multipath-robust receive (pre_acc=3)
         "frontend-correct": (None, False),
+        "ldro": (None, False),        # adaptive mode: low-data-rate payload
     })
     if flags["format"] not in _FORMATS:
         print(f"Unknown --format={flags['format']}", file=sys.stderr)
@@ -167,7 +168,8 @@ def main(argv=None) -> int:
         # verification per frame; --soft decodes payloads from the
         # symbol spectra (ML codeword correlation, ~1 dB PER gain)
         adapt = stream.AdaptiveStreamDemodulator(params, preamble_len=npre,
-                                                 soft=flags["soft"])
+                                                 soft=flags["soft"],
+                                                 ldro=flags["ldro"])
         astate = adapt.init_state()
         if ckpt and ckpt.exists():
             # adaptive checkpoints carry the complex tail + frame count

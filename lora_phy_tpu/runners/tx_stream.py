@@ -23,7 +23,7 @@ the full coded chain, models/stream.frame_encode) that
 Flags: ``--payloads=FILE|-`` (hex lines; or ``--payload=HEX`` repeated
 count times via ``--count``) ``--out=FILE|-`` ``--sf`` ``--cr`` ``--bw``
 ``--osr`` ``--sync`` ``--gap=SAMPLES`` ``--format=cf32|ci16|ci8``
-``--ampl`` ``--invert-iq`` ``--coded`` ``--crc`` ``--preamble=N``
+``--ampl`` ``--invert-iq`` ``--coded`` ``--crc`` ``--ldro`` ``--preamble=N``
 """
 
 from __future__ import annotations
@@ -56,6 +56,7 @@ def main(argv=None) -> int:
         "invert-iq": (None, False),
         "coded": (None, False),
         "crc": (None, False),
+        "ldro": (None, False),
         "preamble": (int, 8),
     })
     if flags["format"] not in _FORMATS:
@@ -103,7 +104,7 @@ def main(argv=None) -> int:
                           file=sys.stderr)
                     return 1
                 cfg = CodedConfig(sf=params.sf, cr=flags["cr"],
-                                  crc=flags["crc"])
+                                  crc=flags["crc"], ldro=flags["ldro"])
                 iq = np.asarray(stream.frame_encode(
                     payload, cfg, params, preamble_len=flags["preamble"]))
                 if flags["ampl"] != 1.0:

@@ -581,3 +581,28 @@ def test_rx_stream_frontend_correct(tmp_path, capfd):
     out, _ = capfd.readouterr()
     assert f"payload={pay_a.tobytes().hex()}" in out
     assert f"payload={pay_b.tobytes().hex()}" in out
+
+
+def test_adaptive_gateway_ldro(tmp_path, capfd):
+    """--ldro on both sides: low-data-rate payloads (PPM = sf-2,
+    bins << 2) round-trip in gateway mode; an rx without --ldro sees the
+    header (LDRO never applies to it) but fails the payload CRC —
+    exactly real LoRa, where LDRO is channel configuration."""
+    from lora_phy_tpu.runners import tx_stream
+
+    pay = "0badc0de51"
+    sfile = tmp_path / "ldro.iq"
+    assert tx_stream.main([f"--payload={pay}", "--coded", "--crc",
+                           "--ldro", "--cr=2", f"--out={sfile}"]) == 0
+    capfd.readouterr()
+
+    assert rx_stream.main([f"--in={sfile}", "--sf=7", "--adaptive",
+                           "--ldro"]) == 0
+    out, err = capfd.readouterr()
+    lines = [l for l in out.splitlines() if l.startswith("frame @")]
+    assert len(lines) == 1 and "1 frames" in err
+    assert f"payload={pay}" in lines[0] and "crc=ok" in lines[0]
+
+    assert rx_stream.main([f"--in={sfile}", "--sf=7", "--adaptive"]) == 0
+    out, _ = capfd.readouterr()
+    assert f"payload={pay}" not in out
