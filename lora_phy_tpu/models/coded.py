@@ -138,7 +138,11 @@ def decode_payload(symbols, nbytes: int, cfg: CodedConfig):
     """
     symbols = jnp.asarray(symbols, dtype=jnp.uint16)
     if cfg.ldro:
-        symbols = symbols >> 2
+        # round(bin/4), not truncation: a -1 bin drift still demaps to the
+        # right word (truncation costs a codeword bit that CR 4/5-4/6 can
+        # only detect, not correct) — the drift tolerance LDRO exists for
+        half_n = 1 << (cfg.sf - 2)
+        symbols = ((symbols + 2) >> 2) % half_n
     words = coding.binary_to_gray(symbols)
     codewords = coding.diagonal_deinterleave(words, cfg.ppm, cfg.rdd)
     nibbles, err = _fec_decode(codewords, cfg.cr)

@@ -287,7 +287,8 @@ def make_demodulator(name: str, params: LoraParams, preamble_len: int = 8,
         if avail < 1:
             return {"raw": iq}
         out, _ = stream.frame_demodulate(iq, params, int(avail), preamble_len,
-                                         min_power_db=thresh_db)
+                                         min_power_db=thresh_db,
+                                         sync_result=res)
         if out is None:
             return {"raw": iq}
         pay = iq[res.payload_start: res.payload_start + avail * step]
@@ -415,8 +416,11 @@ def make_iq_file_sink(name: str, path: str) -> Block:
     def fn(block, inputs):
         x = inputs.get("0")
         if x is not None:
-            block.state.setdefault("chunks", []).append(np.asarray(x))
-            iqio.write_iq(path, np.concatenate(block.state["chunks"]))
+            # append-only (a long stream would otherwise rewrite the whole
+            # growing file every tick and retain every chunk in memory)
+            mode = "ab" if block.state.get("started") else "wb"
+            block.state["started"] = True
+            iqio.append_iq(path, np.asarray(x), mode=mode)
         return {}
 
     return Block(name, fn)
@@ -469,6 +473,11 @@ def load_topology(path: str, seed: int = 0,
     blocks_json, conns = [], []
     for page in doc.get("pages", []):
         for obj in page.get("graphObjects", []):
+            if not obj.get("enabled", True):
+                # Pothos disables blocks/connections in place (the shipped
+                # lora_sdr_relay.pth disables its TestGen/Pacer sources —
+                # a relay must only retransmit, not originate traffic)
+                continue
             what = obj.get("what")
             if what == "Block":
                 blocks_json.append(obj)
@@ -512,7 +521,12 @@ def load_topology(path: str, seed: int = 0,
                 whiten=bool(_eval_prop(props.get("whitening", "true").title(), env)),
             )
             explicit = bool(_eval_prop(props.get("explicit", "true").title(), env))
-            topo.add(make_decoder(bid, cfg, explicit))
+            dec = make_decoder(bid, cfg, explicit)
+            if not explicit and "dataLength" in props:
+                # implicit-header decoders carry their payload length as a
+                # block property in the .pth file
+                dec.state["length"] = int(_eval_prop(props["dataLength"], env))
+            topo.add(dec)
         elif bpath == "/comms/noise_source":
             topo.add(make_noise_source(
                 bid, ampl=float(_eval_prop(props.get("ampl", "0.0"), env)),

@@ -85,7 +85,12 @@ class GrFrame:
 # demodulator's -1 bin offset.
 
 def _rx_words_reduced(bins, n):
-    return np.asarray(coding.binary_to_gray(((bins % n) >> 2).astype(np.uint16)))
+    # gr-lora_sdr demaps reduced-rate blocks with round(bin/4), not
+    # truncation: a -1 bin drift (4w-1) still demaps to w, preserving the
+    # drift tolerance LDRO exists for (truncation would cost one codeword
+    # bit — only DETECTED, not corrected, at CR 4/5-4/6)
+    w = (((bins % n) + 2) >> 2) % (n >> 2)
+    return np.asarray(coding.binary_to_gray(w.astype(np.uint16)))
 
 
 def _tx_bins_reduced(words, n):
@@ -100,25 +105,10 @@ def _tx_bins_full(words, n):
     return (np.asarray(coding.gray_to_binary(words.astype(np.uint16))) + 1) % n
 
 
-def _fec_encode(nibbles, cr):
-    if cr == 1:
-        return coding.parity54_encode(nibbles)
-    if cr == 2:
-        return coding.parity64_encode(nibbles)
-    if cr == 3:
-        return coding.hamming74_encode(nibbles)
-    return coding.hamming84_encode(nibbles)
-
-
-def _fec_decode(cw, cr):
-    if cr == 1:
-        return coding.parity54_check(cw)
-    if cr == 2:
-        return coding.parity64_check(cw)
-    if cr == 3:
-        return coding.hamming74_decode(cw)
-    nib, err, _ = coding.hamming84_decode(cw)
-    return nib, err
+# FEC dispatch is shared with the coded chain (models/coded.py) — one
+# source for the CR->code mapping, and invalid cr raises there instead of
+# silently falling through to Hamming84.
+from .coded import _fec_decode, _fec_encode  # noqa: E402
 
 
 def payload_block_plan(sf: int, cr: int, length: int, crc: bool,
@@ -167,7 +157,8 @@ def decode_frame(samples, params: LoraParams, preamble_len: int = 8,
     # gr-lora_sdr preambles carry no per-symbol phase step (unlike our
     # lattice modulator's pi): tell the fine-CFO estimator so
     dm = stream.frame_demodulate(samples, params, int(avail), preamble_len,
-                                 tx_phase_step=0.0, return_spectra=soft)
+                                 tx_phase_step=0.0, return_spectra=soft,
+                                 sync_result=res)
     out = dm[0]
     if out is None:
         return None

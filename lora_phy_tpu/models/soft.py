@@ -33,11 +33,15 @@ _NEG = jnp.float32(-3.4e38)
 def _bit_masks(n: int, ppm: int, shift: int, offset: int = 0) -> np.ndarray:
     """[ppm, N] bool: bit ``j`` of the data word carried by bin ``b``.
 
-    Word = binary_to_gray(((b - offset) mod N) >> shift) — the RX mapping
-    (models/coded.py:142); ``shift=2`` for LDRO/reduced-rate blocks where
-    the two LSB bins carry no data, ``offset=1`` for gr-lora_sdr's
-    full-rate -1 bin convention (models/gr_interop.py:95-100)."""
-    b = ((np.arange(n, dtype=np.int32) - offset) % n).astype(np.uint16) >> shift
+    Word = binary_to_gray(round(((b - offset) mod N) / 2^shift)) — the RX
+    mapping (models/coded.py decode_payload; rounding, matching the hard
+    demaps: a -1 bin drift keeps its word); ``shift=2`` for LDRO/
+    reduced-rate blocks where the two LSB bins carry no data,
+    ``offset=1`` for gr-lora_sdr's full-rate -1 bin convention
+    (models/gr_interop.py)."""
+    b = ((np.arange(n, dtype=np.int32) - offset) % n).astype(np.uint16)
+    if shift:
+        b = ((b + (1 << (shift - 1))) >> shift) % (n >> shift)
     w = np.asarray(coding.binary_to_gray(jnp.asarray(b))).astype(np.uint32)
     j = np.arange(ppm, dtype=np.uint32)[:, None]
     return ((w[None, :] >> j) & 1).astype(bool)

@@ -192,7 +192,8 @@ def frame_demodulate(stream, params: LoraParams, n_payload_symbols: int,
                      preamble_len: int = 8,
                      min_power_db: float | None = None,
                      return_spectra: bool = False,
-                     tx_phase_step: float | None = None):
+                     tx_phase_step: float | None = None,
+                     sync_result: FrameSyncResult | None = None):
     """Sync + demodulate one frame from a continuous stream. Returns
     (symbols [n_payload_symbols], sync_result). The payload section is
     dechirped and routed through the working demod path with the sync
@@ -210,8 +211,14 @@ def frame_demodulate(stream, params: LoraParams, n_payload_symbols: int,
     (ops.planar._preamble_phase_step). Pass ``0.0`` for gr-lora_sdr
     transmitters (measured: their preamble carries no per-symbol phase
     step — the OTA capture decodes bit-exactly with 0 and one bin off
-    with ours)."""
-    res = frame_sync(stream, params, preamble_len, min_power_db=min_power_db)
+    with ours).
+
+    ``sync_result``: a precomputed :func:`frame_sync` result — callers
+    that already scanned (gr_interop.decode_frame, the flowgraph demod
+    block) pass it so the whole-stream scan is not re-run here (it is
+    the dominant cost per frame)."""
+    res = sync_result if sync_result is not None else frame_sync(
+        stream, params, preamble_len, min_power_db=min_power_db)
     if not res.found:
         return None, res
     step = params.step

@@ -41,7 +41,7 @@ _TWO_PI = 2.0 * jnp.pi
 
 
 def _stream_demod_local(x_local, params: LoraParams, backend: str,
-                        time_axis: str, channel_axis: str | None):
+                        time_axis: str):
     """Per-shard body (runs under shard_map). ``x_local``: [..., L]."""
     n, osr, step = params.n, params.osr, params.step
     halo = step
@@ -122,14 +122,18 @@ def _stream_demod_local(x_local, params: LoraParams, backend: str,
     )
     sym = jnp.where(use_shift[..., None], symview(shift_view), symview(base_view))
 
-    # --- CFO derotation at global symbol index ----------------------------
-    s_global = (t_idx.astype(jnp.float32) * s_per_block
-                + jnp.arange(s_per_block, dtype=jnp.float32)) * jnp.float32(n)
-    start = rate[..., None] * (
-        s_global + t_off.astype(jnp.float32)[..., None] / jnp.float32(osr)
-    )
-    ph = start[..., None] + rate[..., None, None] * jnp.arange(n, dtype=jnp.float32)
-    fft_in = sym * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+    # --- CFO derotation: only the per-sample ramp ------------------------
+    # The reference's full phase is rate*(s_global*N + t_off/osr) + rate*i;
+    # the global-symbol-index start term is constant WITHIN a symbol, so it
+    # contributes only a unimodular per-symbol phase — invisible to the
+    # magnitude-based detector (modem._derotation_vector documents and
+    # drops it on the single-device path; the [.., S, 1]-rank broadcast it
+    # needed is also a layout-rotation trigger on this chip, CLAUDE.md).
+    # Global-index CORRECTNESS still holds: shards agree because the
+    # surviving ramp exp(j*rate*i) is index-free within the window.
+    ph = rate[..., None] * jnp.arange(n, dtype=jnp.float32)       # [..., N]
+    rot = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))[..., None, :]
+    fft_in = sym * rot
     if window is not None:
         fft_in = fft_in * jnp.asarray(window)
 
@@ -218,14 +222,18 @@ def _stream_demod_local_planar(xr, xi, params: LoraParams, time_axis: str):
     sym = jnp.where(use_shift[..., None], symview(shift_view), symview(base_view))
     sr, si = sym[0], sym[1]
 
-    # --- CFO derotation at global symbol index ----------------------------
-    s_global = (t_idx.astype(jnp.float32) * s_per_block
-                + jnp.arange(s_per_block, dtype=jnp.float32)) * jnp.float32(n)
-    start = rate[..., None] * (
-        s_global + t_off.astype(jnp.float32)[..., None] / jnp.float32(osr)
-    )
-    ph = start[..., None] + rate[..., None, None] * jnp.arange(n, dtype=jnp.float32)
-    c, s = jnp.cos(ph), jnp.sin(ph)
+    # --- CFO derotation: only the per-sample ramp ------------------------
+    # The reference's full phase is rate*(s_global*N + t_off/osr) + rate*i;
+    # the global-symbol-index start term is constant WITHIN a symbol, so it
+    # contributes only a unimodular per-symbol phase — invisible to the
+    # magnitude-based detector (modem._derotation_vector documents and
+    # drops it on the single-device path; the [.., S, 1]-rank broadcast it
+    # needed is also a layout-rotation trigger on this chip, CLAUDE.md).
+    # Global-index CORRECTNESS still holds: shards agree because the
+    # surviving ramp exp(j*rate*i) is index-free within the window.
+    ph = rate[..., None] * jnp.arange(n, dtype=jnp.float32)       # [..., N]
+    c = jnp.cos(ph)[..., None, :]
+    s = jnp.sin(ph)[..., None, :]
     fr = sr * c - si * s
     fi = sr * s + si * c
     if window is not None:
@@ -269,7 +277,7 @@ def demodulate_stream(samples, params: LoraParams, mesh: Mesh,
     """
     fn = shard_map(
         partial(_stream_demod_local, params=params, backend=backend,
-                time_axis=TIME_AXIS, channel_axis=CHANNEL_AXIS),
+                time_axis=TIME_AXIS),
         mesh=mesh,
         in_specs=P(CHANNEL_AXIS, TIME_AXIS),
         out_specs=(P(CHANNEL_AXIS, TIME_AXIS), P(CHANNEL_AXIS), P(CHANNEL_AXIS)),

@@ -33,3 +33,14 @@ def write_iq(path_or_file, samples) -> None:
         sys.stdout.buffer.flush()
     else:
         flat.tofile(str(path_or_file))
+
+
+def append_iq(path, samples, mode: str = "ab") -> None:
+    """Append complex64 samples to an IQ file (``mode="wb"`` truncates
+    first) — for streaming sinks that must not rewrite a growing file."""
+    samples = np.asarray(samples, dtype=np.complex64)
+    flat = np.empty(samples.size * 2, dtype=np.float32)
+    flat[0::2] = samples.real
+    flat[1::2] = samples.imag
+    with open(str(path), mode) as f:
+        f.write(flat.tobytes())

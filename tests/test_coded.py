@@ -118,3 +118,25 @@ def test_header_checksum_rejects_corruption():
     hdr[0] ^= 0x1C  # multi-bit: beyond Hamming correction
     nbytes, _, _, ok = coded.decode_header(hdr, 9)
     assert (not ok) or nbytes == 17
+
+
+def test_ldro_round_demap_tolerates_bin_drift():
+    """LDRO's reason to exist: with bins at multiples of 4, a +/-1 bin
+    drift (clock/CFO residue) must decode cleanly. The demap ROUNDS
+    (matching gr-lora_sdr) — truncation would turn a -1 drift into a
+    codeword bit error that CR 4/5-4/6 can only detect, not correct."""
+    import numpy as np
+
+    from lora_phy_tpu.models import coded
+
+    cfg = coded.CodedConfig(sf=8, cr=1, ldro=True, crc=True)
+    rng = np.random.RandomState(40)
+    payload = rng.randint(0, 256, 6).astype(np.uint8)
+    bins = np.asarray(coded.encode_payload(payload, cfg)).astype(np.int64)
+    n = 1 << cfg.sf
+    for drift in (-1, 1):
+        got, crc_ok, fec = coded.decode_payload(
+            ((bins + drift) % n).astype(np.uint16), payload.size, cfg)
+        np.testing.assert_array_equal(np.asarray(got), payload)
+        assert bool(np.all(np.asarray(crc_ok)))
+        assert int(np.asarray(fec)) == 0

@@ -117,3 +117,26 @@ def test_load_reference_client_and_rx_pth():
 
     topo2 = fg.load_topology(f"{REF_EXAMPLES}/rx_RN2483.pth")
     topo2.run(1)  # no SDR source on this image: graph ticks, nothing flows
+
+
+def test_loader_honours_enabled_flag_and_data_length():
+    """The shipped relay topology disables its TestGen/Pacer sources (a
+    relay retransmits, it must not originate traffic): the loader skips
+    disabled blocks and connections. Its implicit decoder's dataLength
+    property seeds the payload length."""
+    import json
+
+    topo = fg.load_topology(
+        "/root/reference/examples/lora_sdr_relay.pth")
+    names = set(topo.blocks)
+    assert "LoRaTestGen0" not in names and "Pacer0" not in names
+
+    doc = json.load(open("/root/reference/examples/lora_sdr_relay.pth"))
+    props = {}
+    for page in doc["pages"]:
+        for obj in page["graphObjects"]:
+            if obj.get("what") == "Block" and obj.get("path") == "/lora/lora_decoder":
+                props = {p["key"]: p["value"] for p in obj["properties"]}
+    if props.get("explicit", "true").lower().startswith("f"):
+        dec = next(b for n, b in topo.blocks.items() if "Decoder" in n)
+        assert dec.state.get("length") is not None
