@@ -431,10 +431,15 @@ def demodulate_integrated(
     window = _window_table(params)
 
     down = base_downchirp(params.sf, params.scale)         # [N], osr=1 per phy.cpp:203
-    down_os = jnp.repeat(down, osr) if osr > 1 else down   # align to oversampled grid
 
     est_input = x[..., : 2 * step]
     if not quirk_compat:
+        # the estimator sees the PROPER oversampled downchirp: a sample-
+        # repeated osr=1 chirp is misaligned by half a bin at osr > 1,
+        # which lands the sync estimate on the wrong fractional bin and
+        # fabricates a time_offset of frac*N*osr samples (measured: every
+        # symbol wrong at sf8/osr2 with jnp.repeat(down, osr))
+        down_os = base_downchirp(params.sf, params.scale, osr)
         est_input = est_input.reshape(*x.shape[:-1], 2, step) * down_os
         est_input = est_input.reshape(*x.shape[:-1], 2 * step)
     cfo, time_offset = _estimate(

@@ -124,6 +124,14 @@ def _chirp_phase(symbols, n: int, osr: int, bw_scale_x8: int,
     f_step, p = _lattice_period(n, osr, bw_scale)
     m = n * osr
     half_m = m // 2
+    # s_cum's int32 intermediates reach ~M^2; for M >= 46341 that wraps.
+    # When P | 2^32 the wrap IS the modular reduction (exact); otherwise
+    # the lattice silently corrupts — refuse instead (only reachable at
+    # sf12 with non-power-of-two osr > 11, far beyond the profile matrix).
+    if m >= 46341 and (1 << 32) % p != 0:
+        raise ValueError(
+            f"N*osr = {m} overflows the int32 phase lattice and its period "
+            f"P = {p} does not divide 2^32; use a power-of-two osr")
 
     ks = jnp.arange(m, dtype=jnp.int32)
     w = (symbols.astype(jnp.int32) * osr)[..., None]       # [..., S, 1]

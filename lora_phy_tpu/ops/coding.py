@@ -473,17 +473,23 @@ def crc16_sx1272(data):
         )
     if L >= _CRC_MAX_LEN:
         raise ValueError(f"payload too long for CRC table ({L} >= {_CRC_MAX_LEN})")
-    # byte i (0-based) sits at distance L-1-i from the end
+    # byte i (0-based) sits at distance L-1-i from the end. The LUT pick
+    # tables[i, data[i]] is GF(2)-affine in the byte's BITS, so instead of
+    # a [..., L, 256] element gather (the take_along pattern CLAUDE.md
+    # flags as pathological on this backend) decompose it over the 8-bit
+    # basis: contrib = c_i XOR_b bit_b * (T[i, 1<<b] XOR c_i) — selects +
+    # a log-depth XOR tree, pure elementwise (8x input footprint, not
+    # 256x). The per-position constants c_i fold into the final mask.
     dist = np.arange(L - 1, -1, -1)
-    tables = jnp.asarray(_CRC_DIST[dist])  # [L, 256]
-    idx = data.astype(jnp.int32)
-    contrib = jnp.take_along_axis(
-        jnp.broadcast_to(tables, idx.shape[:-1] + tables.shape),
-        idx[..., None],
-        axis=-1,
-    )[..., 0]                              # [..., L] uint16: tables[i, data[..., i]]
-    crc = _xor_reduce(contrib)
-    mask = np.uint16(int(_CRC_V[L]) ^ (int(_CRC_V[L + 1]) << 8))
+    t = _CRC_DIST[dist]                                     # [L, 256] np
+    c = t[:, 0]                                             # [L]
+    basis = t[:, 1 << np.arange(8)] ^ c[:, None]            # [L, 8]
+    const = np.bitwise_xor.reduce(c).astype(np.uint16) if L else np.uint16(0)
+    bits = (data[..., None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+    contrib = jnp.where(bits.astype(bool), jnp.asarray(basis),
+                        jnp.uint16(0))                      # [..., L, 8]
+    crc = _xor_reduce(_xor_reduce(contrib))                 # bits, then bytes
+    mask = np.uint16(int(_CRC_V[L]) ^ (int(_CRC_V[L + 1]) << 8) ^ int(const))
     return (crc ^ mask).astype(jnp.uint16)
 
 

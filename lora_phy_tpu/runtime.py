@@ -145,6 +145,8 @@ class OverlapSaveRing:
     def push(self, re: np.ndarray, im: np.ndarray) -> int:
         re = np.ascontiguousarray(re, np.float32)
         im = np.ascontiguousarray(im, np.float32)
+        if re.size != im.size:   # the native loop reads im[i] for i < count
+            raise ValueError(f"plane length mismatch: {re.size} vs {im.size}")
         return lib().lora_rt_ring_push(self._handle, _fp(re), _fp(im), re.size)
 
     @property

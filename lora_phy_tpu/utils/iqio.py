@@ -17,9 +17,7 @@ def read_iq(path_or_file) -> np.ndarray:
     else:
         flat = np.fromfile(str(path_or_file), dtype=np.float32)
     flat = flat[: (len(flat) // 2) * 2]
-    return flat.view(np.complex64) if flat.dtype == np.complex64 else (
-        flat[0::2] + 1j * flat[1::2]
-    ).astype(np.complex64)
+    return (flat[0::2] + 1j * flat[1::2]).astype(np.complex64)
 
 
 def write_iq(path_or_file, samples) -> None:

@@ -63,8 +63,10 @@ def demod_roofline(params: LoraParams, n_symbols: int,
     if n <= 128:
         mm_flops = 8.0 * n * n          # 4 matmuls, 2 flops/MAC
     else:
-        n1 = n2 = int(n ** 0.5)
-        mm_flops = 8.0 * n * (n1 + n2)  # four-step
+        from ..ops.fft import _split
+
+        n1, n2 = _split(n)              # the REAL four-step factorisation
+        mm_flops = 8.0 * n * (n1 + n2)
     flops = n_symbols * (mm_flops + 10.0 * n)     # + derot/mag/argmax
     bytes_ = n_symbols * (n * 8.0 + 4.0)          # planar in + bin out
     t_c = flops / peak_flops

@@ -330,3 +330,21 @@ def test_gr_interop_cell_matrix(sf, ldro, implicit):
         assert frame.payload == payload
         assert frame.crc_ok
         assert frame.fec_errors == 0
+
+
+@pytest.mark.parametrize("sf,osr", [(7, 2), (8, 2)])
+def test_integrated_demodulate_oversampled(sf, osr):
+    """The fixed integrated path at osr > 1: the offset estimator must
+    dechirp the sync symbols with the PROPER oversampled downchirp — a
+    sample-repeated osr=1 chirp is misaligned by half a bin, fabricating
+    a time_offset of frac*N*osr (~ -23 samples at sf8/osr2) that shifted
+    every symbol window (every decision wrong, sync 0x1)."""
+    p = LoraParams(sf=sf, osr=osr)
+    rng = np.random.RandomState(1)
+    pay = rng.randint(0, 256, 6).astype(np.uint8)
+    syms = np.asarray(modem.encode(pay))
+    iq = modem.modulate(syms.astype(np.int32), p)
+    out = modem.demodulate_integrated(iq, p)
+    assert int(np.asarray(out.sync_word)) == p.sync_word
+    assert abs(float(np.asarray(out.time_offset))) < 2.0
+    np.testing.assert_array_equal(np.asarray(modem.decode(out.symbols)), pay)
