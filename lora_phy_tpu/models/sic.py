@@ -29,7 +29,6 @@ on complex-free TPU backends.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import jax
@@ -45,20 +44,30 @@ _TWO_PI = 6.283185307179586
 
 @partial(jax.jit, static_argnames=("params", "preamble_len"))
 def cancel_frame_planar(xr, xi, symbols, start, cfo_total,
-                        params: LoraParams, preamble_len: int = 8):
+                        params: LoraParams, preamble_len: int = 8,
+                        sync_word=None):
     """Subtract one decoded frame from continuous ``[T]`` planes.
 
     ``symbols``: the frame's hard decisions ``[S] uint16``; ``start``: its
     first preamble sample (int32, traced); ``cfo_total``: integer + residual
-    CFO in FFT bins (float32, traced). The sync word rides
-    ``params.sync_word`` (replace it with the recovered word before
-    calling). Returns ``(xr', xi', (gain_re, gain_im), resid_db)`` where
-    ``resid_db`` is the post-subtraction power over the frame span relative
-    to the pre-subtraction power — the cancellation-depth observable.
+    CFO in FFT bins (float32, traced); ``sync_word``: the frame's
+    RECOVERED sync word (uint8, traced — data-dependent, so it must not
+    ride the static params or every distinct word retraces the whole
+    cancel program; None falls back to ``params.sync_word``). Returns
+    ``(xr', xi', (gain_re, gain_im), resid_db)`` where ``resid_db`` is
+    the post-subtraction power over the frame span relative to the
+    pre-subtraction power — the cancellation-depth observable.
     """
     t_len = xr.shape[-1]
+    if sync_word is None:
+        sync_word = jnp.uint8(params.sync_word)
+    shift = (params.sf - 4) if params.sf > 4 else 0
+    sw = jnp.asarray(sync_word, jnp.int32)
+    sync_syms = jnp.stack([((sw >> 4) & 0xF) << shift,
+                           (sw & 0xF) << shift])
     rr, ri = frame_modulate_planar(symbols.astype(jnp.int32), params,
-                                   preamble_len, amplitude=1.0)
+                                   preamble_len, amplitude=1.0,
+                                   sync_symbols=sync_syms)
     span = rr.shape[-1]
 
     # estimated CFO rotation: the block receiver derotates the RECEIVED
@@ -126,12 +135,12 @@ def receive_sic_planar(xr, xi, params: LoraParams, n_payload_symbols: int,
         if not rows:
             break
         best = max(rows, key=lambda r: r["snr_db"])
-        p = dataclasses.replace(params, sync_word=best["sync"])
         xr, xi, (g_re, g_im), resid_db = cancel_frame_planar(
             xr, xi, jnp.asarray(best["symbols"]),
             jnp.int32(best["start"]),
             jnp.float32(best["cfo_bins"] + best["cfo"]),
-            p, preamble_len,
+            params, preamble_len,
+            sync_word=jnp.uint8(best["sync"]),
         )
         best["sic_pass"] = it
         best["cancel_resid_db"] = float(resid_db)

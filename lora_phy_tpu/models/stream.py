@@ -29,7 +29,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops.chirp import base_downchirp, gen_chirp, modulate_symbols
-from ..ops.detect import detect
 from ..utils.params import LoraParams
 from . import modem, sync
 
@@ -76,22 +75,39 @@ def frame_modulate(symbols, params: LoraParams, preamble_len: int = 8,
 
 
 def frame_modulate_planar(symbols, params: LoraParams, preamble_len: int = 8,
-                          amplitude: float = 1.0):
+                          amplitude: float = 1.0, sync_symbols=None):
     """Planar (re, im float32) twin of :func:`frame_modulate` — the full
     frame synthesizer on complex-free TPU backends. Planes are bit-exact
     with ``split_complex(frame_modulate(...))`` (same lattice modulator,
     same float64 host oracle for the 2.25-symbol downchirp).
 
+    ``sync_symbols``: optional TRACED ``[..., 2]`` sync-chirp symbol
+    values overriding the static ``params.sync_word`` — a data-dependent
+    sync word then does not retrace the jit (the SIC loop resynthesizes
+    with each frame's RECOVERED word).
+
     [..., S] symbols -> ((re, im) each [..., overhead + S*step] float32).
     """
-    from ..ops.chirp import gen_chirp_np, modulate_symbols_planar
+    from ..ops.chirp import (_mod_chirps_planar, gen_chirp_np,
+                             modulate_symbols_planar)
 
     symbols = jnp.asarray(symbols)
     step = params.step
     zeros = jnp.zeros(symbols.shape[:-1] + (preamble_len,), jnp.int32)
-    br, bi = modulate_symbols_planar(
-        symbols, params.sf, params.osr, params.scale, amplitude,
-        params.sync_word, params.continuous_chirp)
+    if sync_symbols is None:
+        br, bi = modulate_symbols_planar(
+            symbols, params.sf, params.osr, params.scale, amplitude,
+            params.sync_word, params.continuous_chirp)
+    else:
+        allsyms = jnp.concatenate(
+            [jnp.asarray(sync_symbols, jnp.int32),
+             symbols.astype(jnp.int32)], axis=-1)
+        ampl_c = float(np.clip(amplitude, -1.0, 1.0))
+        re_c, im_c = _mod_chirps_planar(
+            allsyms, params.n, params.osr, int(round(params.scale * 8)),
+            ampl_c, params.continuous_chirp)
+        br = re_c.reshape(*re_c.shape[:-2], -1)
+        bi = im_c.reshape(*im_c.shape[:-2], -1)
     pr, pi = modulate_symbols_planar(
         zeros[..., 2:], params.sf, params.osr, params.scale, amplitude,
         0x00, params.continuous_chirp)
@@ -402,11 +418,14 @@ class BatchStreamDemodulator:
 # ---------------------------------------------------------------------------
 
 def save_state(state: StreamState, path) -> None:
-    """Persist a stream carry state (tail samples + absolute position)."""
+    """Persist a stream carry state (tail samples + absolute position).
+    Writes to EXACTLY ``path`` (a bare np.savez(path) would append
+    '.npz', breaking resume for any other extension)."""
     tail = np.asarray(state.tail)
-    np.savez(path, tail_re=tail.real.astype(np.float32),
-             tail_im=tail.imag.astype(np.float32),
-             consumed=np.int64(state.consumed))
+    with open(path, "wb") as f:
+        np.savez(f, tail_re=tail.real.astype(np.float32),
+                 tail_im=tail.imag.astype(np.float32),
+                 consumed=np.int64(state.consumed))
 
 
 def load_state(path) -> StreamState:
@@ -436,7 +455,8 @@ def frame_encode(payload, cfg, params: LoraParams, preamble_len: int = 8):
 
 
 def frame_decode_adaptive(samples, params: LoraParams, preamble_len: int = 8,
-                          soft: bool = False, ldro: bool = False):
+                          soft: bool = False, ldro: bool = False,
+                          min_power_db: float | None = None):
     """Sync one frame and decode it using only the stream contents: the
     8-symbol explicit header supplies payload length, CR and CRC mode.
 
@@ -448,16 +468,23 @@ def frame_decode_adaptive(samples, params: LoraParams, preamble_len: int = 8,
     from . import coded
     from .coded import CodedConfig
 
-    res = frame_sync(samples, params, preamble_len)
+    res = frame_sync(samples, params, preamble_len,
+                     min_power_db=min_power_db)
     if not res.found:
         return None, {"found": False}, 0
     step = params.step
     avail = (np.asarray(samples).shape[-1] - res.payload_start) // step
     if avail < 8:
         return None, {"found": False}, 0
+    # cap at the longest possible frame (255-byte payload + CRC at CR
+    # 4/8, under the configured rate): demodulating every symbol to the
+    # buffer end made short-frame streams quadratic
+    worst = 8 + coded.payload_symbol_count(
+        255, CodedConfig(sf=params.sf, cr=4, ldro=ldro))
+    avail = min(int(avail), worst)
 
     dm = frame_demodulate(samples, params, int(avail), preamble_len,
-                          return_spectra=soft)
+                          return_spectra=soft, sync_result=res)
     out = dm[0]
     if out is None:
         return None, {"found": False}, 0
@@ -499,18 +526,21 @@ class AdaptiveStreamDemodulator:
 
     def __init__(self, params: LoraParams, preamble_len: int = 8,
                  max_frame_len: int | None = None, soft: bool = False,
-                 ldro: bool = False):
+                 ldro: bool = False, min_power_db: float | None = None):
         self.params = params
         self.preamble_len = preamble_len
         self.soft = soft
         self.ldro = ldro
-        # worst case: 255-byte payload + CRC at CR 4/8
+        self.min_power_db = min_power_db
+        # worst case: 255-byte payload + CRC at CR 4/8 (LDRO frames run
+        # at PPM = sf-2 and are LONGER — sizing without it trimmed the
+        # carried tail below a boundary-spanning LDRO frame's length)
         if max_frame_len is None:
             from .coded import CodedConfig
 
             from . import coded
             worst = coded.payload_symbol_count(
-                255, CodedConfig(sf=params.sf, cr=4)
+                255, CodedConfig(sf=params.sf, cr=4, ldro=ldro)
             )
             max_frame_len = (
                 frame_overhead_samples(params, preamble_len)
@@ -530,6 +560,7 @@ class AdaptiveStreamDemodulator:
             payload, info, consumed = frame_decode_adaptive(
                 buf[offset:], self.params, self.preamble_len,
                 soft=self.soft, ldro=self.ldro,
+                min_power_db=self.min_power_db,
             )
             if payload is not None:
                 frames.append((base + offset + info["start"], payload, info))

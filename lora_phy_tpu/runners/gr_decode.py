@@ -27,7 +27,16 @@ def main(argv=None) -> int:
         "preamble": (int, 8),
         "max-frames": (int, 64),
         "soft": (None, False),
+        "ldro": (None, False),
+        "implicit": (None, False),
+        "length": (int, 0),
+        "cr": (int, 0),
+        "crc": (None, False),
     })
+    if flags["implicit"] and not (flags["length"] and flags["cr"]):
+        print("--implicit needs --length and --cr (the gr receiver is "
+              "configured the same way)", file=sys.stderr)
+        return 1
     samples = read_iq(flags["in"] or "-")
     params = LoraParams(sf=flags["sf"], osr=flags["osr"])
 
@@ -36,9 +45,12 @@ def main(argv=None) -> int:
     step = params.step
     overhead = (flags["preamble"] + 4) * step + step // 4
     while found < flags["max-frames"] and samples.size - offset > 16 * step:
-        frame = gr_interop.decode_frame(samples[offset:], params,
-                                        preamble_len=flags["preamble"],
-                                        soft=flags["soft"])
+        frame = gr_interop.decode_frame(
+            samples[offset:], params, preamble_len=flags["preamble"],
+            ldro=flags["ldro"], implicit=flags["implicit"],
+            length=flags["length"] or None, cr=flags["cr"] or None,
+            crc=flags["crc"] if flags["implicit"] else None,
+            soft=flags["soft"])
         if frame is None:
             break
         if not frame.header_ok:
@@ -52,10 +64,16 @@ def main(argv=None) -> int:
             f"cfo={frame.cfo_bins} fec_err={frame.fec_errors}"
         )
         print(f"  payload: {frame.payload.hex()}  {frame.payload!r}")
-        # continue scanning after this frame's payload
-        nibbles = (frame.length + (2 if frame.has_crc else 0)) * 2
-        blocks = -(-nibbles // params.sf)
-        nsym = 8 + blocks * (4 + max(1, frame.cr))
+        # continue scanning after this frame's payload: the exact gr
+        # geometry (the header block already carries sf-7 payload
+        # nibbles; LDRO changes the rest-block PPM) — an overestimate
+        # could land the rescan inside a closely-following preamble
+        from ..models.gr_interop import payload_block_plan
+
+        in_first, ppm_rest, n_rest, _ = payload_block_plan(
+            params.sf, frame.cr, frame.length, frame.has_crc,
+            flags["ldro"], flags["implicit"])
+        nsym = 8 + n_rest * (4 + max(1, frame.cr))
         offset += frame.start + overhead + nsym * step
     if not found:
         print("no frames found", file=sys.stderr)

@@ -93,11 +93,12 @@ def measure_demod(params: LoraParams, n_frames: int, channels: int,
     pool = min(64, n_frames * channels)
     rng = np.random.RandomState(0)
     payloads = rng.randint(0, 256, (pool, payload_len)).astype(np.uint8)
-    reps = channels * n_frames // pool
+    reps = -(-(channels * n_frames) // pool)       # ceil: any frame count
 
     @jax.jit
     def gen(pl):
-        full = jnp.tile(pl, (reps, 1)).reshape(channels, n_frames, payload_len)
+        full = jnp.tile(pl, (reps, 1))[: channels * n_frames].reshape(
+            channels, n_frames, payload_len)
         syms = modem.encode(full)
         r, i = planar.modulate_planar(syms, params)
         return planar.dechirp_planar(r, i, params)

@@ -169,7 +169,8 @@ def main(argv=None) -> int:
         # symbol spectra (ML codeword correlation, ~1 dB PER gain)
         adapt = stream.AdaptiveStreamDemodulator(params, preamble_len=npre,
                                                  soft=flags["soft"],
-                                                 ldro=flags["ldro"])
+                                                 ldro=flags["ldro"],
+                                                 min_power_db=flags["thresh"])
         astate = adapt.init_state()
         if ckpt and ckpt.exists():
             # adaptive checkpoints carry the complex tail + frame count
@@ -216,17 +217,32 @@ def main(argv=None) -> int:
                 src.close()
         if ckpt:
             tail = np.asarray(astate.tail)
-            np.savez(ckpt, tail_re=tail.real.astype(np.float32),
-                     tail_im=tail.imag.astype(np.float32),
-                     consumed=np.int64(astate.consumed),
-                     n_frames=np.int64(n_frames))
+            with open(ckpt, "wb") as f:   # exact path (savez appends .npz)
+                np.savez(f, tail_re=tail.real.astype(np.float32),
+                         tail_im=tail.imag.astype(np.float32),
+                         consumed=np.int64(astate.consumed),
+                         n_frames=np.int64(n_frames))
         if not flags["quiet"]:
             print(f"{n_frames} frames", file=sys.stderr)
         return 0
 
+    def aliased_sync(p):
+        # at BW250/500 the demodulated bin is s*bw_scale mod N
+        # (docs/SEMANTICS.md "BW250/500 bin aliasing"), so the recovered
+        # sync word aliases the same way; compare against THAT
+        shift = (p.sf - 4) if p.sf > 4 else 0
+        scale = int(round(p.scale))
+
+        def nib(v):
+            return ((((v & 0xF) << shift) * scale % p.n) >> shift) & 0xF
+
+        return (nib(p.sync_word >> 4) << 4) | nib(p.sync_word)
+
+    expected_sync = {p.sf: aliased_sync(p) for p in params_by_sf}
+
     def report(row, p, chan, buf_base):
         nonlocal n_frames
-        if not flags["any-sync"] and row["sync"] != p.sync_word:
+        if not flags["any-sync"] and row["sync"] != expected_sync[p.sf]:
             # the sync word is the network filter (the Pothos demod's
             # ``sync`` property): rejects transition-band chirp leakage
             # that picks up a bogus sync on quiet channels
@@ -385,9 +401,11 @@ def main(argv=None) -> int:
             src.close()
 
     if ckpt:
-        np.savez(ckpt, re=carry_re, im=carry_im, base=np.int64(base),
-                 reported=np.asarray(sorted(reported), np.int64).reshape(-1, 3),
-                 n_frames=np.int64(n_frames))
+        with open(ckpt, "wb") as f:       # exact path (savez appends .npz)
+            np.savez(f, re=carry_re, im=carry_im, base=np.int64(base),
+                     reported=np.asarray(sorted(reported),
+                                         np.int64).reshape(-1, 3),
+                     n_frames=np.int64(n_frames))
     if not flags["quiet"]:
         cad_note = (f" ({n_skipped} buffers CAD-skipped)"
                     if flags["cad"] else "")
