@@ -178,9 +178,10 @@ def test_tx_rx_nondefault_params(tmp_path, capsys):
         f"--in={iq_path}", "--sf=9", "--bw=250000", "--osr=2",
     ]) == 0
     out = capsys.readouterr().out.strip().splitlines()[-1]
-    # BW250 at osr2: bins scale by bw_scale (reference-faithful aliasing),
-    # and Hamming84 corrects the dropped MSB exactly as at BW125 — the
-    # payload still decodes through the simple chain
+    # BW250 at osr2: bins scale by bw_scale (reference-faithful aliasing,
+    # docs/SEMANTICS.md) — the simple chain decodes the SCALED bins like
+    # the reference binary does, so the printed hex is the aliased decode,
+    # not the payload; the runner must still produce 4 bytes cleanly
     assert len(out) == 8
 
 
