@@ -44,6 +44,14 @@ def _mm(a, b, mxu_dtype=None):
     return jnp.matmul(a, b, preferred_element_type=jnp.float32)
 
 
+@functools.lru_cache(maxsize=16)
+def _small_dft_tables(n: int):
+    k = np.arange(n)
+    ang = 2 * np.pi * np.outer(k, k) / n
+    return (np.cos(ang).astype(np.float32),
+            (-np.sin(ang)).astype(np.float32))
+
+
 def dft_planar(xr, xi, n: int, mxu_dtype=None):
     """Planar DFT over the last axis: four real matmuls (N <= 128) or the
     four-step factorisation (N up to 4096), MXU-shaped.
@@ -54,9 +62,8 @@ def dft_planar(xr, xi, n: int, mxu_dtype=None):
     from functools import partial as _partial
     _mmd = _partial(_mm, mxu_dtype=mxu_dtype)
     if n <= 128:
-        k = np.arange(n)
-        wr = jnp.asarray(np.cos(2 * np.pi * np.outer(k, k) / n).astype(np.float32))
-        wi = jnp.asarray((-np.sin(2 * np.pi * np.outer(k, k) / n)).astype(np.float32))
+        wr_np, wi_np = _small_dft_tables(n)
+        wr, wi = jnp.asarray(wr_np), jnp.asarray(wi_np)
         yr = _mmd(xr, wr) - _mmd(xi, wi)
         yi = _mmd(xr, wi) + _mmd(xi, wr)
         return yr, yi
@@ -106,17 +113,15 @@ def _combined_dft_mat(n: int):
 @functools.lru_cache(maxsize=16)
 def _combined_fourstep_mats(n: int):
     """Combined-form constants for the four-step: ``M1R`` [2n1, 2n1]
-    right-multiplies concatenated [br | bi] columns; ``M2L`` is the
-    legacy left-multiply stage-1 matrix (the transposed-stack form in
-    _dft_mag2_scrambled uses ``_combined_dft_mat(n2)`` instead); twiddles
-    stored in the [k2, i1] layout (transpose at use site for [i1, k2])."""
+    right-multiplies concatenated [br | bi] columns (stage 1 uses
+    ``_combined_dft_mat(n2)``); twiddles stored in the [k2, i1] layout
+    (transpose at use site for [i1, k2])."""
     w1, w2, tw, n1, n2 = _dft_mats(n)
-    m2l = np.block([[w2.real, -w2.imag], [w2.imag, w2.real]]).astype(np.float32)
     m1r = np.block([[w1.real.T, w1.imag.T],
                     [-w1.imag.T, w1.real.T]]).astype(np.float32)
     twr = np.ascontiguousarray(tw.T.real).astype(np.float32)
     twi = np.ascontiguousarray(tw.T.imag).astype(np.float32)
-    return m2l, m1r, n1, n2, twr, twi
+    return m1r, n1, n2, twr, twi
 
 
 def _dft_mag2_scrambled(xr, xi, n: int, mxu_dtype=None):
@@ -131,7 +136,7 @@ def _dft_mag2_scrambled(xr, xi, n: int, mxu_dtype=None):
     feeds stage 2. The earlier left-multiply form contracted the -2 axis
     of its stacked operand, which made layout assignment relayout both
     matmul operands (four bf16 block-transpose copies at SF12)."""
-    _, m1r, n1, n2, twr_t, twi_t = _combined_fourstep_mats(n)
+    m1r, n1, n2, twr_t, twi_t = _combined_fourstep_mats(n)
     lead = xr.shape[:-1]
     xst = jnp.concatenate(
         [xr.reshape(*lead, n2, n1).swapaxes(-1, -2),
@@ -349,6 +354,10 @@ def estimate_preamble_planar(pr, pi, n: int, osr: int,
     det = detect_planar(vr, vi, n)
     sb = jnp.where(det.index > n // 2, det.index - n, det.index)
     coarse = jnp.mean(sb.astype(jnp.float32) + det.findex, axis=-1)
+    if s < 2:
+        # one window has no phase slope: the coarse term alone (an
+        # empty-axis mean would return NaN silently)
+        return coarse.astype(jnp.float32)
     phase = jnp.arctan2(det.peak_im, det.peak_re).astype(jnp.float32)
     d = phase[..., 1:] - phase[..., :-1] - jnp.float32(phase_step)
     d = jnp.mod(d + math.pi, _TWO_PI) - math.pi
@@ -396,6 +405,9 @@ def estimate_preamble_robust_planar(pr, pi, n: int, osr: int,
     sb = jnp.where(b > n // 2, b - n, b).astype(jnp.float32)
     coarse = sb + frac
 
+    if s < 2:
+        cfo = coarse.astype(jnp.float32)
+        return (cfo, acc) if return_acc else cfo
     pre = fr * onehot[..., None, :]
     pim = fi * onehot[..., None, :]
     re_b = jnp.sum(pre, axis=-1)                        # [..., S]
@@ -429,6 +441,9 @@ def demodulate_planar(xr, xi, params: LoraParams, fused: bool = False,
     preamble-anchored estimate here (:func:`estimate_preamble_planar`)."""
     n = params.n
     mxu_dtype = jnp.bfloat16 if precision == "bf16" else None
+    if fused and precision != "f32":
+        raise ValueError("the fused Mosaic kernel runs f32 only; "
+                         "precision='bf16' requires fused=False")
     yr, yi, rate, t_off, scale, cfo, time_offset = _demod_stage_planar(
         xr, xi, params, assume_normalized, known_offsets
     )
@@ -463,6 +478,8 @@ def _demod_stage_planar(xr, xi, params: LoraParams, assume_normalized,
     ``yr/yi`` the [..., S, N] pre-rotation symbol windows."""
     n, osr, step = params.n, params.osr, params.step
     total_symbols = xr.shape[-1] // step
+    if total_symbols < 2:
+        raise ValueError("need at least the 2 sync symbols")   # phy.hpp:186
     xr = xr[..., : total_symbols * step]
     xi = xi[..., : total_symbols * step]
 
@@ -659,7 +676,10 @@ def compensate_offsets_planar(xr, xi, params: LoraParams, cfo, time_offset):
 
     flat_r = yr.reshape(-1, count)
     flat_i = yi.reshape(-1, count)
-    flat_start = jnp.broadcast_to(start.reshape(-1), (flat_r.shape[0],))
+    # dimension-aligned broadcast (like the complex twin): an offset
+    # batch smaller than x's full leading shape must pair per-row, not
+    # fail/mis-pair via a flat reshape
+    flat_start = jnp.broadcast_to(start, yr.shape[:-1]).reshape(-1)
     sr, si = jax.vmap(shift_one)(flat_r, flat_i, flat_start)
     return sr.reshape(yr.shape), si.reshape(yi.shape)
 
@@ -692,6 +712,10 @@ def estimate_sro_planar(xr, xi, params: LoraParams):
     phase = 0 if (params.continuous_chirp or osr == 1) else osr - 1
     lead = xr.shape[:-1]
     s = xr.shape[-1] // (n * osr)
+    if s < 2:
+        # no first differences to measure: report zero drift, not NaN
+        # (an empty-axis mean would silently poison the tracking loop)
+        return jnp.zeros(lead, jnp.float32)
 
     def view(a):
         return a[..., : s * n * osr].reshape(*lead, s, n, osr)[..., phase]

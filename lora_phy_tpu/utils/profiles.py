@@ -45,7 +45,9 @@ def load_profiles(path) -> list[Profile]:
     current: dict = {}
 
     def flush():
-        if current:
+        # only real profile entries (the 'profiles:' section header line
+        # also lands in `current` but carries none of the profile keys)
+        if any(k in current for k in ("name", "sf", "bw", "cr")):
             profiles.append(
                 Profile(
                     name=current.get("name", ""),
@@ -63,7 +65,9 @@ def load_profiles(path) -> list[Profile]:
         if line.startswith("-"):
             flush()
             current = {}
-            continue
+            line = line[1:].strip()   # '- name: x' carries the first key
+            if not line:
+                continue
         if ":" not in line:
             continue
         key, val = (x.strip() for x in line.split(":", 1))

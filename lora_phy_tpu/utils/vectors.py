@@ -25,14 +25,22 @@ def load_binary_vectors(path) -> list[VectorRecord]:
     with open(path, "rb") as f:
         (count,) = struct.unpack("<I", f.read(4))
 
+        def rd(n: int) -> bytes:
+            b = f.read(n)
+            if len(b) != n:   # truncated/corrupt file: fail loudly, not
+                raise ValueError(   # with silently short payloads
+                    f"truncated vector file {path}: wanted {n} bytes, "
+                    f"got {len(b)}")
+            return b
+
         def lp() -> bytes:
-            (n,) = struct.unpack("<I", f.read(4))
-            return f.read(n)
+            (n,) = struct.unpack("<I", rd(4))
+            return rd(n)
 
         for _ in range(count):
             test_type = lp().decode("utf-8")
             payload = lp()
-            (sf,) = struct.unpack("<I", f.read(4))
+            (sf,) = struct.unpack("<I", rd(4))
             cr = lp().decode("utf-8")
             extra = lp()
             records.append(VectorRecord(test_type, payload, sf, cr, extra))
