@@ -64,8 +64,34 @@ def main() -> None:
     from lora_phy_tpu.ops import planar
     from lora_phy_tpu.utils.params import LoraParams
 
+    # Startup watchdog: a wedged axon relay claim hangs backend init /
+    # the first device op forever, blocked inside a C call where SIGALRM
+    # handlers never run (CLAUDE.md; seen: multi-hour tunnel outage,
+    # every process stuck at ~2s CPU). A timer THREAD still runs while
+    # the main thread blocks, and emits a diagnosable artifact instead
+    # of an infinite hang. Cancelled right after the first device op.
+    import threading
+
+    def _dead():
+        log("TPU startup timed out: relay/tunnel unreachable")
+        print(json.dumps({
+            "metric": "demod_iq_throughput_sf7", "value": None,
+            "unit": "IQ samples/s", "vs_baseline": None,
+            "error": "tpu unreachable (startup probe timed out)",
+            "regressed": False,
+        }), flush=True)
+        os._exit(1)
+
+    watchdog = threading.Timer(300.0, _dead)
+    watchdog.daemon = True
+    watchdog.start()
+
     platform = jax.default_backend()
     log(f"platform: {platform} devices: {jax.devices()}")
+    import jax.numpy as _jnp_probe
+    np.asarray(_jnp_probe.zeros(4) + 1.0)
+    watchdog.cancel()
+    log("device probe ok")
 
     params = LoraParams(sf=7)
     payload_len = 32
