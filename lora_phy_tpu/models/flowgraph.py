@@ -26,8 +26,10 @@ probes (their captured feeds are inspectable after a run).
 
 from __future__ import annotations
 
+import ast
 import json
 import math
+import operator
 import re
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -363,12 +365,116 @@ def make_probe(name: str) -> Block:
     return Block(name, fn)
 
 
+# --- safe expression evaluation -------------------------------------------
+# .pth files come from arbitrary (untrusted) sources; a raw eval() with
+# stripped builtins is escapable via attribute traversal.  Pothos property
+# expressions only need literals, names, arithmetic/bit/compare operators
+# and a couple of math calls, so evaluate the AST under a strict node
+# whitelist instead (ADVICE r2, medium).
+
+_SAFE_BINOPS = {
+    ast.Add: operator.add, ast.Sub: operator.sub, ast.Mult: operator.mul,
+    ast.Div: operator.truediv, ast.FloorDiv: operator.floordiv,
+    ast.Mod: operator.mod, ast.Pow: operator.pow,
+    ast.LShift: operator.lshift, ast.RShift: operator.rshift,
+    ast.BitOr: operator.or_, ast.BitAnd: operator.and_,
+    ast.BitXor: operator.xor,
+}
+_SAFE_UNARY = {ast.UAdd: operator.pos, ast.USub: operator.neg,
+               ast.Invert: operator.invert, ast.Not: operator.not_}
+_SAFE_CMP = {ast.Eq: operator.eq, ast.NotEq: operator.ne,
+             ast.Lt: operator.lt, ast.LtE: operator.le,
+             ast.Gt: operator.gt, ast.GtE: operator.ge}
+_SAFE_CALLS = {
+    "pow": pow, "abs": abs, "min": min, "max": max, "int": int,
+    "float": float, "round": round, "len": len,
+}
+_SAFE_MATH = {n: getattr(math, n) for n in (
+    "sin", "cos", "tan", "sqrt", "log", "log2", "log10", "exp",
+    "floor", "ceil", "atan2", "hypot", "pi", "e")}
+
+
+def safe_eval(expr: str, env: dict | None = None):
+    """Evaluate a Pothos property/evaluator expression without ``eval``.
+
+    Supports literals (incl. hex), tuples/lists, names from ``env``,
+    ``math.<fn>``, arithmetic / bitwise / comparison / boolean operators,
+    conditional expressions, and a whitelist of pure calls.  Anything else
+    (attribute traversal, subscript-of-arbitrary-object tricks,
+    comprehensions, lambdas…) raises ``ValueError``.
+    """
+    env = env or {}
+
+    def ev(node):
+        if isinstance(node, ast.Expression):
+            return ev(node.body)
+        if isinstance(node, ast.Constant):
+            return node.value
+        if isinstance(node, ast.Name):
+            if node.id == "pi":
+                return env.get("pi", math.pi)
+            if node.id == "math":
+                raise ValueError("bare 'math' reference")
+            if node.id in env:
+                return env[node.id]
+            raise ValueError(f"unknown name {node.id!r}")
+        if isinstance(node, ast.BinOp) and type(node.op) in _SAFE_BINOPS:
+            return _SAFE_BINOPS[type(node.op)](ev(node.left), ev(node.right))
+        if isinstance(node, ast.UnaryOp) and type(node.op) in _SAFE_UNARY:
+            return _SAFE_UNARY[type(node.op)](ev(node.operand))
+        if isinstance(node, ast.BoolOp):
+            vals = [ev(v) for v in node.values]
+            if isinstance(node.op, ast.And):
+                out = vals[0]
+                for v in vals[1:]:
+                    out = out and v
+                return out
+            out = vals[0]
+            for v in vals[1:]:
+                out = out or v
+            return out
+        if isinstance(node, ast.Compare):
+            left = ev(node.left)
+            for op, comp in zip(node.ops, node.comparators):
+                if type(op) not in _SAFE_CMP:
+                    raise ValueError("unsupported comparison")
+                right = ev(comp)
+                if not _SAFE_CMP[type(op)](left, right):
+                    return False
+                left = right
+            return True
+        if isinstance(node, ast.IfExp):
+            return ev(node.body) if ev(node.test) else ev(node.orelse)
+        if isinstance(node, (ast.Tuple, ast.List)):
+            vals = [ev(e) for e in node.elts]
+            return tuple(vals) if isinstance(node, ast.Tuple) else vals
+        if isinstance(node, ast.Dict):
+            if any(k is None for k in node.keys):
+                raise ValueError("dict unpacking not supported")
+            return {ev(k): ev(v) for k, v in zip(node.keys, node.values)}
+        if isinstance(node, ast.Call):
+            if node.keywords:
+                raise ValueError("keyword args not supported")
+            f = node.func
+            if isinstance(f, ast.Name) and f.id in _SAFE_CALLS:
+                fn = _SAFE_CALLS[f.id]
+            elif (isinstance(f, ast.Attribute) and isinstance(f.value, ast.Name)
+                  and f.value.id == "math" and f.attr in _SAFE_MATH):
+                fn = _SAFE_MATH[f.attr]
+            else:
+                raise ValueError("call not in whitelist")
+            return fn(*[ev(a) for a in node.args])
+        raise ValueError(f"unsupported expression node {type(node).__name__}")
+
+    return ev(ast.parse(expr, mode="eval"))
+
+
 def make_evaluator(name: str, expr: str, var_names: tuple = ()) -> Block:
     """Re-evaluates ``expr`` from slot-fed variables (``setX`` -> ``x``);
     emits signal ``triggered``.  Mirrors /blocks/evaluator."""
 
     def fn(block, inputs):
-        env = {"pow": pow, "pi": math.pi, "math": math}
+        env = {"pi": math.pi}
         for v in var_names:
             slot = "set" + v[0].upper() + v[1:]
             if slot not in block.slots and v not in block.state:
@@ -376,7 +482,7 @@ def make_evaluator(name: str, expr: str, var_names: tuple = ()) -> Block:
             if slot in block.slots:
                 block.state[v] = block.slots[slot]
             env[v] = block.state[v]
-        return {"triggered": eval(expr, {"__builtins__": {}}, env)}
+        return {"triggered": safe_eval(expr, env)}
 
     return Block(name, fn, signal_ports=("triggered",))
 
@@ -438,7 +544,7 @@ def _eval_prop(text: str, env: dict):
     text = text.strip()
     if re.fullmatch(r'"[^"]*"', text):
         return text[1:-1]
-    return eval(text, {"__builtins__": {}, "pi": math.pi, "pow": pow}, env)
+    return safe_eval(text, dict(env, pi=math.pi))
 
 
 def _sf_params(props: dict, env: dict, sync_default: int = 0x12) -> LoraParams:

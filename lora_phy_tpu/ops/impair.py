@@ -83,10 +83,12 @@ def apply_sro(samples, ppm: float):
     dwhole = jnp.floor(drift)
     frac = (drift - dwhole).astype(samples.dtype)
     i0 = k + dwhole.astype(jnp.int32)
-    valid = (i0 + 1 < count) & (i0 >= 0)
-    i0c = jnp.clip(i0, 0, count - 2)
-    a = jnp.take(samples, i0c, axis=-1)
-    b = jnp.take(samples, i0c + 1, axis=-1)
+    # Endpoint: when frac == 0 the sample needs no right neighbour, so
+    # i0 == count-1 is still valid — otherwise ppm=0 would zero the last
+    # sample and identity resampling would not be identity (ADVICE r2).
+    valid = (i0 >= 0) & ((i0 + 1 < count) | ((frac == 0) & (i0 < count)))
+    a = jnp.take(samples, jnp.clip(i0, 0, count - 1), axis=-1)
+    b = jnp.take(samples, jnp.clip(i0 + 1, 0, count - 1), axis=-1)
     return jnp.where(valid, a * (1 - frac) + b * frac, 0.0)
 
 

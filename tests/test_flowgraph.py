@@ -140,3 +140,29 @@ def test_loader_honours_enabled_flag_and_data_length():
     if props.get("explicit", "true").lower().startswith("f"):
         dec = next(b for n, b in topo.blocks.items() if "Decoder" in n)
         assert dec.state.get("length") is not None
+
+
+def test_safe_eval_rejects_sandbox_escape():
+    """Property/evaluator expressions are AST-whitelisted: the classic
+    stripped-builtins escape via attribute traversal must raise, while the
+    arithmetic actually used by the reference .pth files still evaluates
+    (ADVICE r2, medium)."""
+    import math
+
+    import pytest
+
+    assert fg.safe_eval("1 << (SF - 2)", {"SF": 7}) == 32
+    assert fg.safe_eval("0x12") == 0x12
+    assert fg.safe_eval("pow(2, SF)", {"SF": 8}) == 256
+    assert fg.safe_eval("math.sqrt(2) * pi") == math.sqrt(2) * math.pi
+    assert fg.safe_eval("{'a': 1, 'b': SF}", {"SF": 9}) == {"a": 1, "b": 9}
+    for evil in (
+        "().__class__.__base__.__subclasses__()",
+        "(1).__class__",
+        "[c for c in ()]",
+        "(lambda: 1)()",
+        "open('/etc/passwd')",
+        "__import__('os')",
+    ):
+        with pytest.raises(ValueError):
+            fg.safe_eval(evil)

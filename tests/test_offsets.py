@@ -422,3 +422,18 @@ def test_frontend_correction_rescues_deep_sic():
     cr, ci = compensate_frontend_planar(
         re, im, *estimate_frontend_planar(re, im))
     assert weak_ok(cr, ci)
+
+
+def test_sro_zero_ppm_is_identity():
+    """apply_sro(x, 0) must be exact identity including the LAST sample
+    (ADVICE r2: the old validity mask required a right neighbour even at
+    frac == 0, zeroing the endpoint of every identity resample)."""
+    from lora_phy_tpu.ops.impair import apply_sro
+
+    rng = np.random.RandomState(3)
+    x = (rng.randn(257) + 1j * rng.randn(257)).astype(np.complex64)
+    y = np.asarray(apply_sro(x, 0.0))
+    np.testing.assert_array_equal(y, x)
+    # planar (float) path too
+    yr = np.asarray(apply_sro(x.real.copy(), 0.0))
+    np.testing.assert_array_equal(yr, x.real)
