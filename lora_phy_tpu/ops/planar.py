@@ -188,12 +188,13 @@ def argmax_bins_planar(xr, xi, n: int, mxu_dtype=None, with_peak=False):
     fused reduction) for power-threshold gating.
 
     Combined-matmul form (one MXU matmul per DFT stage); at n > 128 the
-    argmax runs directly on the four-step's [k2, k1] layout and the bin
-    index is unscrambled arithmetically (``k = k1*n2 + k2``), skipping
-    the spectrum reorder pass entirely. Tie-break caveat: equal-magnitude
-    bins resolve in scrambled order there, not natural order — identical
-    for the all-equal (silence) case (both pick bin 0) and irrelevant for
-    real peaks, but not bit-for-bit the reference scan order at n > 128."""
+    argmax runs directly on the four-step's [k2, k1] layout with NO
+    spectrum reorder pass: a single variadic reduce carries (mag², natural
+    bin ``k = k1*n2 + k2``) and its comparator breaks equal-magnitude ties
+    to the LOWEST NATURAL bin — bit-for-bit the reference's first-max scan
+    order (tests/equal_power_bin_test.cpp:31-55) at every SF, same
+    one-pass cost as ``jnp.argmax`` (which is the same variadic reduce
+    with the scrambled position as the carried index)."""
     if n <= 128:
         mag2 = dft_mag2_planar(xr, xi, n, mxu_dtype=mxu_dtype)
         bins = jnp.argmax(mag2, axis=-1).astype(jnp.int32)
@@ -204,11 +205,32 @@ def argmax_bins_planar(xr, xi, n: int, mxu_dtype=None, with_peak=False):
     lead = m.shape[:-2]
     n2, n1 = m.shape[-2], m.shape[-1]
     flat = m.reshape(*lead, n2 * n1)
-    j = jnp.argmax(flat, axis=-1).astype(jnp.int32)
-    bins = (j % n1) * n2 + (j // n1)
+    bins, peak = _argmax_natural(flat, n1, n2)
     if with_peak:
-        return bins, jnp.max(flat, axis=-1)
+        return bins, peak
     return bins
+
+
+def _argmax_natural(flat, n1: int, n2: int):
+    """First-max argmax over a flattened scrambled [k2, k1] spectrum,
+    returning (lowest NATURAL tied bin, peak value). The natural index is
+    computed from a fused iota (never materialised) and rides the reduce
+    as the carried index, so this costs exactly one pass like argmax."""
+    axis = flat.ndim - 1
+    pos = jax.lax.broadcasted_iota(jnp.int32, flat.shape, axis)
+    nat = (pos % n1) * n2 + (pos // n1)
+
+    def comb(acc, item):
+        av, ai = acc
+        bv, bi = item
+        pick_b = (bv > av) | ((bv == av) & (bi < ai))
+        return (jnp.where(pick_b, bv, av), jnp.where(pick_b, bi, ai))
+
+    peak, bins = jax.lax.reduce(
+        (flat, nat),
+        (jnp.asarray(-jnp.inf, flat.dtype), jnp.asarray(n1 * n2, jnp.int32)),
+        comb, (axis,))
+    return bins, peak
 
 
 def detect_planar(xr, xi, n: int, mxu_dtype=None) -> PlanarDetection:

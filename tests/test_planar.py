@@ -5,6 +5,7 @@ path runs planar float32; these tests gate its equality with the complex
 modem across the profile matrix.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -116,3 +117,52 @@ def test_planar_noise_power_observable():
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(got.power_avg),
                                np.asarray(ref.power_avg), atol=1e-3)
+
+
+@pytest.mark.parametrize("sf", [8, 9, 10, 11, 12])
+def test_argmax_natural_tie_break_scrambled(sf):
+    """Equal-power bins resolve to the LOWEST NATURAL index at n > 128
+    (reference contract tests/equal_power_bin_test.cpp:31-55), even though
+    the four-step argmax scans the scrambled [k2, k1] layout. Crafted flat
+    positions j=1 (natural bin n2) and j=n1 (natural bin 1) tie: a
+    scrambled-order first-max returns n2; the contract requires 1."""
+    from lora_phy_tpu.ops.fft import _dft_mats
+    from lora_phy_tpu.ops.planar import _argmax_natural
+
+    n = 1 << sf
+    _, _, _, n1, n2 = _dft_mats(n)
+    flat = np.zeros((3, n), np.float32)
+    flat[:, 1] = 5.0       # scrambled-first, natural bin n2
+    flat[:, n1] = 5.0      # scrambled-later, natural bin 1
+    flat[0, 0] = 7.0       # unique max at natural bin 0
+    bins, peak = _argmax_natural(jnp.asarray(flat), n1, n2)
+    bins = np.asarray(bins)
+    assert bins[0] == 0 and np.all(np.asarray(peak) == [7.0, 5.0, 5.0])
+    assert bins[1] == 1 and bins[2] == 1, bins
+
+    # brute-force oracle on random data with injected ties
+    rng = np.random.RandomState(sf)
+    m = rng.rand(64, n).astype(np.float32)
+    ties = rng.randint(0, n, (64, 2))
+    m[np.arange(64), ties[:, 0]] = 2.0
+    m[np.arange(64), ties[:, 1]] = 2.0
+    j = np.arange(n)
+    nat = (j % n1) * n2 + (j // n1)
+    order = np.argsort(nat, kind="stable")
+    want = nat[order[np.argmax(m[:, order], axis=-1)]]
+    got, _ = _argmax_natural(jnp.asarray(m), n1, n2)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+@pytest.mark.parametrize("sf", [8, 10, 12])
+def test_argmax_bins_planar_matches_natural(sf):
+    """Full fused path: argmax_bins_planar == natural-order argmax of the
+    reordered spectrum on random signals (unscramble correctness)."""
+    n = 1 << sf
+    rng = np.random.RandomState(1)
+    xr = rng.randn(8, n).astype(np.float32)
+    xi = rng.randn(8, n).astype(np.float32)
+    mag2 = np.asarray(planar.dft_mag2_planar(xr, xi, n))
+    want = np.argmax(mag2, axis=-1)
+    got = np.asarray(planar.argmax_bins_planar(xr, xi, n))
+    np.testing.assert_array_equal(got, want)
