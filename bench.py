@@ -286,6 +286,62 @@ def main() -> None:
     except Exception as e:
         log(f"secondary SF12 skipped: {e}")
 
+    # --- secondary: planar polyphase channelizer (K=8) -------------------
+    chan_gsps = None
+    try:
+        from lora_phy_tpu.ops.channelizer import channelize_planar
+
+        K = 8
+        Tw = (1 << 25) if platform != "cpu" else (1 << 16)
+        kr_, ki_ = jax.random.split(jax.random.PRNGKey(1))
+
+        @jax.jit
+        def make_wide(kr, ki):
+            return (jax.random.normal(kr, (Tw,), jnp.float32),
+                    jax.random.normal(ki, (Tw,), jnp.float32))
+
+        wr_, wi_ = make_wide(kr_, ki_)
+        np.asarray(wr_[:2])
+
+        @jax.jit
+        def chan_step(r, i):
+            return channelize_planar(r, i, K)
+
+        ch = None
+
+        def run_chan():
+            nonlocal ch
+            ch = chan_step(wr_, wi_)
+
+        dt_c = _timeit(run_chan, lambda: np.asarray(ch[0][0, :2]),
+                       max(2, iters // 2))
+        chan_gsps = Tw / dt_c / 1e9
+        log(f"channelizer K={K}: {chan_gsps:.3f} Gsamples/s ({dt_c*1e3:.1f} ms)")
+        wr_.delete()
+        wi_.delete()
+    except Exception as e:
+        log(f"channelizer skipped: {e}")
+
+    # --- secondary: AWGN Monte Carlo (planar model, 16-byte packets) ------
+    awgn_mpps = None
+    try:
+        from lora_phy_tpu.models.awgn import _simulate_point_planar
+
+        pkts = 32768 if platform != "cpu" else 256
+        kk = jax.random.PRNGKey(2)
+        snr = jnp.float32(6.0)
+        mc = None
+
+        def run_mc():
+            nonlocal mc
+            mc = _simulate_point_planar(kk, snr, 7, "4/8", pkts, 16)
+
+        dt_m = _timeit(run_mc, lambda: np.asarray(mc[0]), max(2, iters // 2))
+        awgn_mpps = pkts / dt_m / 1e6
+        log(f"AWGN MC: {awgn_mpps:.3f} Mpackets/s ({dt_m*1e3:.1f} ms)")
+    except Exception as e:
+        log(f"AWGN MC skipped: {e}")
+
     # --- regression gate -------------------------------------------------
     regressed = False
     if BASELINE_FILE.exists() and platform != "cpu":
@@ -297,6 +353,10 @@ def main() -> None:
             checks["sf12_gsps"] = sf12_gsps
         if block_rx_gsps:
             checks["block_rx_gsps"] = block_rx_gsps
+        if chan_gsps:
+            checks["channelizer_gsps"] = chan_gsps
+        if awgn_mpps:
+            checks["awgn_mpps"] = awgn_mpps
         for key, val in checks.items():
             floor = 0.85 * base.get(key, 0.0)
             if val < floor:
@@ -313,6 +373,8 @@ def main() -> None:
         "sync_scan_gsps": round(sync_gsps, 3) if sync_gsps else None,
         "sf12_gsps": round(sf12_gsps, 3) if sf12_gsps else None,
         "block_rx_gsps": round(block_rx_gsps, 3) if block_rx_gsps else None,
+        "channelizer_gsps": round(chan_gsps, 3) if chan_gsps else None,
+        "awgn_mpps": round(awgn_mpps, 3) if awgn_mpps else None,
         "regressed": regressed,
     }))
 
