@@ -18,8 +18,19 @@ src/phy/LoRaDemod.cpp:141-149; sequence-scaling analysis in SURVEY.md §5.7):
   coordinate — the "shards must agree on absolute index" seam called out
   in SURVEY.md §5.7.
 
-The result is bit-identical to the single-device demodulator for in-range
-timing shifts (gated by tests/test_parallel.py).
+The complex and planar paths share ONE collective body
+(:func:`_stream_demod_core`), parameterized over three plane operations
+(normalisation absmax, offset estimate, derotate+detect) so the halo /
+psum / global-index recipe cannot diverge between them.
+
+:func:`receive_stream_block_planar` closes SURVEY.md §5.7b: the full
+frame-SYNC scan + block receiver runs under ``shard_map`` with a
+frame-length right halo, so frames at ARBITRARY stream positions —
+including straddling shard seams — are found and demodulated on the mesh
+(the single-device contract is ``models.sync.receive_block_planar``).
+
+Results are bit-identical to the single-device paths for in-range timing
+shifts (gated by tests/test_parallel.py).
 """
 
 from __future__ import annotations
@@ -32,6 +43,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..models.modem import _estimate, _round_half_away, _window_table, _sync_from_symbols
+from ..models.sync import BlockFrames, receive_block_planar
+from ..models.stream import frame_overhead_samples
 from ..ops.detect import detect
 from ..ops.planar import _estimate_planar, detect_planar
 from ..utils.params import LoraParams
@@ -40,51 +53,49 @@ from .mesh import CHANNEL_AXIS, TIME_AXIS
 _TWO_PI = 2.0 * jnp.pi
 
 
-def _stream_demod_local(x_local, params: LoraParams, backend: str,
-                        time_axis: str):
-    """Per-shard body (runs under shard_map). ``x_local``: [..., L]."""
+def _stream_demod_core(x, params: LoraParams, time_axis: str,
+                       absmax, estimate, finish):
+    """Shared per-shard body of the time-sharded streaming demod (runs
+    under shard_map). ``x``: [..., L] — one complex stream, or stacked
+    (re, im) float32 planes with the plane axis riding the batch dims
+    (collectives, halo selects and the window machinery are
+    plane-agnostic). The three closures carry everything that differs:
+
+    * ``absmax(x) -> [...]-per-channel`` local max(|re|, |im|),
+    * ``estimate(head) -> (cfo, to)`` on the first 2 symbol periods,
+    * ``finish(sym, rate) -> symbol indices`` (derotate + window + DFT +
+      argmax on the [..., S, N] windows).
+    """
     n, osr, step = params.n, params.osr, params.step
     halo = step
-    L = x_local.shape[-1]
+    L = x.shape[-1]
     s_per_block = L // step
-    window = _window_table(params)
 
     t_idx = jax.lax.axis_index(time_axis)
     t_size = jax.lax.axis_size(time_axis)
 
     # --- global per-channel amplitude normalisation (LoRaDemod.cpp:59-77) -
-    local_max = jnp.max(
-        jnp.maximum(jnp.abs(jnp.real(x_local)), jnp.abs(jnp.imag(x_local))),
-        axis=-1,
-    )
-    max_amp = jax.lax.pmax(local_max, time_axis)
+    max_amp = jax.lax.pmax(absmax(x), time_axis)
     scale = jnp.where(max_amp > 1.0, 1.0 / max_amp, 1.0).astype(jnp.float32)
-    x_local = x_local * scale[..., None]
+    x = x * scale[..., None]
 
-    # --- overlap-save halo exchange (ring; edge devices get zeros masked) --
-    right_head = x_local[..., :halo]       # my first samples -> left neighbour
-    left_tail = x_local[..., -halo:]       # my last samples -> right neighbour
-    # receive the *next* block's head as my right halo
+    # --- overlap-save halo exchange (ring; edge devices get zeros masked).
+    # Planar planes ride each collective stacked, halving the ppermute
+    # count; the complex path sends one array the same way.
     right_halo = jax.lax.ppermute(
-        right_head, time_axis,
+        x[..., :halo], time_axis,                 # my head -> left neighbour
         [(i, (i - 1) % t_size) for i in range(t_size)],
     )
-    # receive the *previous* block's tail as my left halo
     left_halo = jax.lax.ppermute(
-        left_tail, time_axis,
+        x[..., -halo:], time_axis,                # my tail -> right neighbour
         [(i, (i + 1) % t_size) for i in range(t_size)],
     )
-    is_first = t_idx == 0
-    is_last = t_idx == t_size - 1
-    left_halo = jnp.where(is_first, 0.0, left_halo)
-    right_halo = jnp.where(is_last, 0.0, right_halo)
-    ext = jnp.concatenate([left_halo, x_local, right_halo], axis=-1)
+    left_halo = jnp.where(t_idx == 0, 0.0, left_halo)
+    right_halo = jnp.where(t_idx == t_size - 1, 0.0, right_halo)
+    ext = jnp.concatenate([left_halo, x, right_halo], axis=-1)
 
     # --- frame-head CFO/TO estimate, broadcast from time-shard 0 ----------
-    cfo_l, to_l = _estimate(
-        x_local[..., : 2 * step], n, osr, window, tie_break_idx=True,
-        backend=backend,
-    )
+    cfo_l, to_l = estimate(x[..., : 2 * step])
     sel = (t_idx == 0).astype(cfo_l.dtype)
     cfo = jax.lax.psum(cfo_l * sel, time_axis)
     time_offset = jax.lax.psum(to_l * sel, time_axis)
@@ -100,8 +111,7 @@ def _stream_demod_local(x_local, params: LoraParams, backend: str,
     def slice_rows(offset):
         """ext[..., offset : offset+L] with per-channel traced offset."""
         flat_ext = ext.reshape(-1, ext.shape[-1])
-        off = jnp.broadcast_to(jnp.asarray(offset, jnp.int32).reshape(-1),
-                               (flat_ext.shape[0],))
+        off = jnp.broadcast_to(offset, ext.shape[:-1]).reshape(-1)
         rows = jax.vmap(
             lambda row, st: jax.lax.dynamic_slice(row, (st,), (L,))
         )(flat_ext, off)
@@ -122,7 +132,7 @@ def _stream_demod_local(x_local, params: LoraParams, backend: str,
     )
     sym = jnp.where(use_shift[..., None], symview(shift_view), symview(base_view))
 
-    # --- CFO derotation: only the per-sample ramp ------------------------
+    # --- CFO derotation (inside ``finish``): only the per-sample ramp.
     # The reference's full phase is rate*(s_global*N + t_off/osr) + rate*i;
     # the global-symbol-index start term is constant WITHIN a symbol, so it
     # contributes only a unimodular per-symbol phase — invisible to the
@@ -131,117 +141,71 @@ def _stream_demod_local(x_local, params: LoraParams, backend: str,
     # needed is also a layout-rotation trigger on this chip, CLAUDE.md).
     # Global-index CORRECTNESS still holds: shards agree because the
     # surviving ramp exp(j*rate*i) is index-free within the window.
-    ph = rate[..., None] * jnp.arange(n, dtype=jnp.float32)       # [..., N]
-    rot = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))[..., None, :]
-    fft_in = sym * rot
-    if window is not None:
-        fft_in = fft_in * jnp.asarray(window)
+    idx = finish(sym, rate)
+    return idx.astype(jnp.uint16), cfo, time_offset
 
-    det = detect(fft_in, backend=backend)
-    return det.index.astype(jnp.uint16), cfo, time_offset
+
+def _stream_demod_local(x_local, params: LoraParams, backend: str,
+                        time_axis: str):
+    """Complex per-shard body: thin closures over the shared core."""
+    n, osr = params.n, params.osr
+    window = _window_table(params)
+
+    def absmax(x):
+        return jnp.max(
+            jnp.maximum(jnp.abs(jnp.real(x)), jnp.abs(jnp.imag(x))), axis=-1
+        )
+
+    def estimate(head):
+        return _estimate(head, n, osr, window, tie_break_idx=True,
+                         backend=backend)
+
+    def finish(sym, rate):
+        ph = rate[..., None] * jnp.arange(n, dtype=jnp.float32)   # [..., N]
+        rot = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))[..., None, :]
+        fft_in = sym * rot
+        if window is not None:
+            fft_in = fft_in * jnp.asarray(window)
+        return detect(fft_in, backend=backend).index
+
+    return _stream_demod_core(x_local, params, time_axis,
+                              absmax, estimate, finish)
 
 
 def _stream_demod_local_planar(xr, xi, params: LoraParams, time_axis: str):
-    """Planar (re, im float32) twin of :func:`_stream_demod_local` — the
-    same halo-exchange/psum-broadcast/global-index recipe on split planes,
-    so the time-sharded receiver compiles on complex-free TPU PJRTs
-    (the deployment reality, CLAUDE.md). Both planes ride each collective
-    stacked, halving the ppermute count."""
-    n, osr, step = params.n, params.osr, params.step
-    halo = step
-    L = xr.shape[-1]
-    s_per_block = L // step
+    """Planar (re, im float32) per-shard body — the same core on split
+    planes stacked along a leading axis, so the time-sharded receiver
+    compiles on complex-free TPU PJRTs (the deployment reality,
+    CLAUDE.md)."""
+    n, osr = params.n, params.osr
     window = _window_table(params)
 
-    t_idx = jax.lax.axis_index(time_axis)
-    t_size = jax.lax.axis_size(time_axis)
+    def absmax(planes):
+        return jnp.max(jnp.maximum(jnp.abs(planes[0]), jnp.abs(planes[1])),
+                       axis=-1)
 
-    # --- global per-channel amplitude normalisation (LoRaDemod.cpp:59-77) -
-    local_max = jnp.max(
-        jnp.maximum(jnp.abs(xr), jnp.abs(xi)), axis=-1
-    )
-    max_amp = jax.lax.pmax(local_max, time_axis)
-    scale = jnp.where(max_amp > 1.0, 1.0 / max_amp, 1.0).astype(jnp.float32)
-    xr = xr * scale[..., None]
-    xi = xi * scale[..., None]
+    def estimate(head):
+        return _estimate_planar(head[0], head[1], n, osr, window,
+                                tie_break_idx=True)
 
-    # --- overlap-save halo exchange (planes stacked: one ppermute each way)
-    planes = jnp.stack([xr, xi], axis=0)            # [2, ..., L]
-    right_halo = jax.lax.ppermute(
-        planes[..., :halo], time_axis,
-        [(i, (i - 1) % t_size) for i in range(t_size)],
-    )
-    left_halo = jax.lax.ppermute(
-        planes[..., -halo:], time_axis,
-        [(i, (i + 1) % t_size) for i in range(t_size)],
-    )
-    left_halo = jnp.where(t_idx == 0, 0.0, left_halo)
-    right_halo = jnp.where(t_idx == t_size - 1, 0.0, right_halo)
-    ext = jnp.concatenate([left_halo, planes, right_halo], axis=-1)
+    def finish(sym, rate):
+        sr, si = sym[0], sym[1]
+        ph = rate[..., None] * jnp.arange(n, dtype=jnp.float32)   # [..., N]
+        c = jnp.cos(ph)[..., None, :]
+        s = jnp.sin(ph)[..., None, :]
+        fr = sr * c - si * s
+        fi = sr * s + si * c
+        if window is not None:
+            w = jnp.asarray(window)
+            fr, fi = fr * w, fi * w
+        return detect_planar(fr, fi, n).index
 
-    # --- frame-head CFO/TO estimate, broadcast from time-shard 0 ----------
-    cfo_l, to_l = _estimate_planar(
-        xr[..., : 2 * step], xi[..., : 2 * step], n, osr, window,
-        tie_break_idx=True,
-    )
-    sel = (t_idx == 0).astype(cfo_l.dtype)
-    cfo = jax.lax.psum(cfo_l * sel, time_axis)
-    time_offset = jax.lax.psum(to_l * sel, time_axis)
-
-    t_off = _round_half_away(time_offset).astype(jnp.int32)
-    rate = (-jnp.float32(_TWO_PI) * cfo / jnp.float32(n)).astype(jnp.float32)
-
-    # --- shifted symbol windows from the extended (haloed) buffer ---------
-    total = t_size * L
-
-    def slice_rows(offset):
-        flat_ext = ext.reshape(-1, ext.shape[-1])
-        off = jnp.broadcast_to(
-            jnp.asarray(offset, jnp.int32).reshape(-1), (flat_ext.shape[0],)
-        )
-        rows = jax.vmap(
-            lambda row, st: jax.lax.dynamic_slice(row, (st,), (L,))
-        )(flat_ext, off)
-        return rows.reshape(*ext.shape[:-1], L)
-
-    def symview(a):
-        v = a.reshape(*a.shape[:-1], s_per_block, n, osr)
-        return v[..., 0]
-
-    base_view = ext[..., halo: halo + L]
-    # offset is per-channel; broadcast across the stacked plane axis
-    off = jnp.clip(t_off + halo, 0, 2 * halo)
-    shift_view = slice_rows(jnp.broadcast_to(off, ext.shape[:-1]))
-
-    s_local = jnp.arange(s_per_block, dtype=jnp.int32)
-    g_base = t_idx.astype(jnp.int32) * L + s_local * step
-    t = t_off[..., None]
-    use_shift = ((t > 0) & (g_base + t + step <= total)) | (
-        (t < 0) & (-t <= g_base)
-    )
-    sym = jnp.where(use_shift[..., None], symview(shift_view), symview(base_view))
-    sr, si = sym[0], sym[1]
-
-    # --- CFO derotation: only the per-sample ramp ------------------------
-    # The reference's full phase is rate*(s_global*N + t_off/osr) + rate*i;
-    # the global-symbol-index start term is constant WITHIN a symbol, so it
-    # contributes only a unimodular per-symbol phase — invisible to the
-    # magnitude-based detector (modem._derotation_vector documents and
-    # drops it on the single-device path; the [.., S, 1]-rank broadcast it
-    # needed is also a layout-rotation trigger on this chip, CLAUDE.md).
-    # Global-index CORRECTNESS still holds: shards agree because the
-    # surviving ramp exp(j*rate*i) is index-free within the window.
-    ph = rate[..., None] * jnp.arange(n, dtype=jnp.float32)       # [..., N]
-    c = jnp.cos(ph)[..., None, :]
-    s = jnp.sin(ph)[..., None, :]
-    fr = sr * c - si * s
-    fi = sr * s + si * c
-    if window is not None:
-        w = jnp.asarray(window)
-        fr, fi = fr * w, fi * w
-
-    det = detect_planar(fr, fi, n)
-    return det.index.astype(jnp.uint16), cfo, time_offset
+    # planes stacked on a leading axis: the per-channel scale/cfo/t_off
+    # [...]-shapes broadcast across it, and both planes ride each
+    # collective in one ppermute
+    planes = jnp.stack([xr, xi], axis=0)
+    return _stream_demod_core(planes, params, time_axis,
+                              absmax, estimate, finish)
 
 
 @partial(jax.jit, static_argnames=("params", "mesh"))
@@ -287,3 +251,115 @@ def demodulate_stream(samples, params: LoraParams, mesh: Mesh,
         syms[..., 0].astype(jnp.int32), syms[..., 1].astype(jnp.int32), params.sf
     )
     return syms, sync, cfo, time_offset
+
+
+# ---------------------------------------------------------------------------
+# Time-sharded frame-SYNC scan + block receive (SURVEY.md §5.7b)
+# ---------------------------------------------------------------------------
+
+def _receive_block_local(xr, xi, params: LoraParams, n_payload_symbols: int,
+                         max_frames: int, preamble_len: int,
+                         min_power_db, pre_acc: int, halo_steps: int,
+                         time_axis: str):
+    """Per-shard body: raw-stream frame scan + demod over the local block
+    extended by a frame-length RIGHT halo.
+
+    A LoRa frame is detected from its preamble (which begins at the frame
+    start), so a frame starting inside my block — even at its very last
+    sample — is fully visible in ``local ++ right-halo``; no left halo is
+    needed. Ownership is by frame-START position: shard ``t`` claims
+    frames with resolved start in ``[0, L)`` local samples. The same
+    frame seen by the left neighbour (start >= its L) or the right
+    neighbour (start < 0 after its probe resolution) fails the claim
+    there, so every frame is reported exactly once.
+    """
+    step = params.step
+    L = xr.shape[-1]
+    halo = halo_steps * step
+
+    t_idx = jax.lax.axis_index(time_axis)
+    t_size = jax.lax.axis_size(time_axis)
+
+    planes = jnp.stack([xr, xi], axis=0)
+    right_halo = jax.lax.ppermute(
+        planes[..., :halo], time_axis,
+        [(i, (i - 1) % t_size) for i in range(t_size)],
+    )
+    right_halo = jnp.where(t_idx == t_size - 1, 0.0, right_halo)
+    ext = jnp.concatenate([planes, right_halo], axis=-1)
+
+    blk = receive_block_planar(
+        ext[0], ext[1], params, n_payload_symbols, max_frames,
+        preamble_len, min_power_db=min_power_db, pre_acc=pre_acc,
+    )
+    # claim: start in [0, L) — receive_block_planar already enforces
+    # start >= 0 (negative-start aliases the left neighbour owns)
+    found = blk.found & (blk.start < L)
+    g_start = blk.start + t_idx.astype(jnp.int32) * L
+    return (found, g_start, blk.cfo_bins, blk.symbols, blk.sync,
+            blk.cfo, blk.time_offset, blk.snr_db, blk.sro_ppm)
+
+
+@partial(jax.jit, static_argnames=("params", "n_payload_symbols", "mesh",
+                                   "max_frames", "preamble_len",
+                                   "min_power_db", "pre_acc"))
+def receive_stream_block_planar(xr, xi, params: LoraParams,
+                                n_payload_symbols: int, mesh: Mesh,
+                                max_frames: int = 4,
+                                preamble_len: int = 8,
+                                min_power_db: float | None = None,
+                                pre_acc: int = 1) -> BlockFrames:
+    """Mesh-sharded raw-stream receiver: the full frame-sync scan +
+    candidate selection + SFD probe + demod of ``models.sync.
+    receive_block_planar`` under ``shard_map`` over ``(channel, time)``.
+
+    Frames may start at ARBITRARY sample positions — including straddling
+    time-shard seams: each shard scans its block plus a frame-length
+    overlap-save halo ppermuted from its right neighbour (the mesh
+    replacement for the reference's absolute whole-buffer indexing,
+    src/phy/LoRaDemod.cpp:141-152), and claims exactly the frames that
+    START inside its block. Returns :class:`~..models.sync.BlockFrames`
+    with ``start`` in GLOBAL stream samples and ``max_frames * n_time``
+    candidate slots per channel (per-shard slots concatenated in
+    time-shard order; ``max_frames`` is the per-shard cap).
+
+    Equality with the single-device block receiver for frames placed
+    across every seam is gated by tests/test_parallel.py.
+    """
+    step = params.step
+    win_full = (frame_overhead_samples(params, preamble_len)
+                + n_payload_symbols * step)
+    # the gathered candidate buffer reaches nwin_f = win//step + 4 windows
+    # past the frame start (receive_block_planar's margin for the shift
+    # row and the +/-step probe hypotheses)
+    halo_steps = -(-win_full // step) + 4
+    t_size = mesh.shape[TIME_AXIS]
+    block = xr.shape[-1] // t_size
+    if halo_steps * step > block:
+        raise ValueError(
+            f"time-shard block of {block} samples is shorter than one "
+            f"frame + margin ({halo_steps * step}); use fewer time shards "
+            "or longer blocks (the halo comes from the immediate "
+            "neighbour only)")
+
+    fn = shard_map(
+        partial(_receive_block_local, params=params,
+                n_payload_symbols=n_payload_symbols, max_frames=max_frames,
+                preamble_len=preamble_len, min_power_db=min_power_db,
+                pre_acc=pre_acc, halo_steps=halo_steps,
+                time_axis=TIME_AXIS),
+        mesh=mesh,
+        in_specs=(P(CHANNEL_AXIS, TIME_AXIS), P(CHANNEL_AXIS, TIME_AXIS)),
+        out_specs=(
+            P(CHANNEL_AXIS, TIME_AXIS),          # found
+            P(CHANNEL_AXIS, TIME_AXIS),          # start (global samples)
+            P(CHANNEL_AXIS, TIME_AXIS),          # cfo_bins
+            P(CHANNEL_AXIS, TIME_AXIS, None),    # symbols
+            P(CHANNEL_AXIS, TIME_AXIS),          # sync
+            P(CHANNEL_AXIS, TIME_AXIS),          # cfo
+            P(CHANNEL_AXIS, TIME_AXIS),          # time_offset
+            P(CHANNEL_AXIS, TIME_AXIS),          # snr_db
+            P(CHANNEL_AXIS, TIME_AXIS),          # sro_ppm
+        ),
+    )
+    return BlockFrames(*fn(xr, xi))

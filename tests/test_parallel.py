@@ -148,6 +148,83 @@ def test_planar_full_chain_on_mesh(devices):
     assert np.all(np.asarray(sync) == p.sync_word)
 
 
+@pytest.mark.parametrize("layout", [(2, 4), (1, 8)])
+def test_time_sharded_frame_scan_across_seams(devices, layout):
+    """SURVEY §5.7b: the frame-SYNC scan + block receive on the mesh.
+    Frames at arbitrary stream positions — one STRADDLING every time-shard
+    seam — are found and demodulated identically to the single-device
+    ``receive_block_planar``."""
+    from lora_phy_tpu.models import stream as streammod, sync as syncmod
+    from lora_phy_tpu.parallel.stream import receive_stream_block_planar
+
+    n_ch, n_t = layout
+    p = LoraParams(sf=7)
+    m = meshlib.make_mesh(n_channel=n_ch, n_time=n_t, devices=devices)
+    n_payload = 8                                   # symbols (4 bytes)
+    frame_len = streammod.frame_overhead_samples(p) + n_payload * p.step
+    block = 4096 if n_t == 4 else 4352              # per-shard samples
+    total = n_t * block
+    rng = np.random.RandomState(11)
+
+    chans, placed = [], []
+    for c in range(n_ch):
+        s = np.zeros(total, np.complex64)
+        rows = {}
+        # one frame straddling every interior seam (starts mid-frame
+        # before the boundary), plus one at an arbitrary interior position
+        # in shard 0; the 17*c / 50*c jitters keep channels distinct
+        # without ever overlapping the neighbouring frames
+        starts = [seam * block - frame_len // 2 + 17 * c
+                  for seam in range(1, n_t)]
+        starts.append(100 + 50 * c)
+        for off in starts:
+            pl = rng.randint(0, 256, n_payload // 2).astype(np.uint8)
+            iq = np.asarray(streammod.frame_modulate(modem.encode(pl), p))
+            assert off + iq.size <= total
+            s[off: off + iq.size] = iq
+            rows[off] = pl
+        chans.append(s)
+        placed.append(rows)
+    streams = np.stack(chans)
+    re, im = planar.split_complex(streams)
+
+    ref = syncmod.receive_block_planar(re, im, p, n_payload,
+                                       max_frames=n_t + 1)
+    sh = meshlib.stream_sharding(m)
+    blk = receive_stream_block_planar(
+        jax.device_put(re, sh), jax.device_put(im, sh), p, n_payload, m,
+        max_frames=2,
+    )
+
+    for c in range(n_ch):
+        def rows_of(b):
+            f = np.asarray(b.found)[c]
+            return {
+                int(np.asarray(b.start)[c, k]): (
+                    int(np.asarray(b.sync)[c, k]),
+                    tuple(np.asarray(b.symbols)[c, k].tolist()),
+                )
+                for k in np.flatnonzero(f)
+            }
+
+        got, want = rows_of(blk), rows_of(ref)
+        assert set(got) == set(placed[c]), (set(got), set(placed[c]))
+        assert got == want
+        for off, pl in placed[c].items():
+            dec = np.asarray(modem.decode(np.array(got[off][1], np.uint16)))
+            np.testing.assert_array_equal(dec, pl)
+
+
+def test_time_sharded_frame_scan_rejects_short_blocks(devices):
+    from lora_phy_tpu.parallel.stream import receive_stream_block_planar
+
+    p = LoraParams(sf=7)
+    m = meshlib.make_mesh(n_channel=1, n_time=8, devices=devices)
+    re = np.zeros((1, 8 * 512), np.float32)
+    with pytest.raises(ValueError, match="shorter than one"):
+        receive_stream_block_planar(re, re, p, 8, m)
+
+
 def test_amplitude_normalisation_collective(devices):
     """Global per-channel pmax normalisation matches single-device."""
     p = LoraParams(sf=7)
