@@ -235,8 +235,11 @@ def main() -> None:
             nonlocal blk
             blk = block_rx(br, bi)
 
+        # 3x iters: the d2h sync roundtrip costs ~27-30 ms on this tunnel
+        # (round 3; was ~2 ms in round 2) and _timeit amortizes it over
+        # the loop — at iters//2 it inflated this 11 ms program by ~50%
         dt_b = _timeit(run_blk, lambda: np.asarray(blk.found[0, :2]),
-                       max(2, iters // 2))
+                       max(2, 3 * iters))
         found = np.asarray(blk.found)
         assert found.sum() >= channels * (fpc - 1), int(found.sum())
         with jax.default_device(cpu):

@@ -281,6 +281,237 @@ def _kth_valid(valid, k_max: int):
     return pos, found
 
 
+def _circ_wrap_const(params: LoraParams):
+    """``c[t+step]*conj(c[t])`` of the base upchirp lattice — the window
+    wrap constant of the circular extraction (trace-time numpy).
+
+    The integer-lattice chirp ``exp(j*pi*(t^2+t)/n)`` is ANTI-periodic
+    over one window (``c[t+n] = -c[t]``: the phase advances by
+    ``2*pi*t + pi*(n+1)``, and n is even) — so the circular select's
+    wrap region, whose samples physically sit one window later in the
+    stream, carries this constant relative to the grid-aligned dechirp
+    reference. Returns ``(s0 complex, ok bool)``; ``ok`` is False when
+    the lattice is not (anti)periodic (non-integer ``scale`` makes the
+    ``2*pi*t*scale`` term survive), in which case the circular fast
+    path must not be used."""
+    from ..ops.chirp import gen_chirp_np
+
+    step = params.step
+    up2, _ = gen_chirp_np(params.n, params.osr, 2 * step, 0.0, down=False,
+                          ampl=1.0, bw_scale=params.scale)
+    s = up2[step:] * np.conj(up2[:step])
+    s0 = complex(s[0])
+    ok = bool(np.max(np.abs(s - s0)) < 1e-5)
+    return s0, ok
+
+
+def _receive_block_circular(xr, xi, params: LoraParams,
+                            n_payload_symbols: int, max_frames: int,
+                            preamble_len: int, start, cfo_bins, found):
+    """Shift-free window extraction + demod (osr=1, rectangular window).
+
+    The barrel shifter costs log2(step) full passes over the per-frame
+    window buffer (~9.6 of the 16.7 ms block receive at the bench shape,
+    measured round 3); here it disappears entirely. Two exact identities
+    replace the data movement (docs/SEMANTICS.md "circular extraction"):
+
+    1. A true symbol window starting ``q`` samples into grid window ``m``
+       equals the circular right-shift by ``q`` of the elementwise select
+       ``w'[j] = j < q ? g[m+1][j] : g[m][j]`` — no lane movement.
+    2. The base chirp is n-periodic (integer lattice, osr=1), so the
+       dechirped w' is the aligned dechirped window circularly shifted by
+       ``q`` AND frequency-shifted by ``-q`` bins (the chirp-phase ratio
+       ``c[j-q]*conj(c[j])`` is a linear ramp): its |DFT| is the aligned
+       spectrum rotated by exactly ``q`` integer bins. Detection corrects
+       the argmax index arithmetically; nothing in the data moves.
+
+    The integer-CFO time-domain derotation (cos/sin over the whole
+    window buffer) folds into the same index correction: skipping a
+    derotation by ``c`` bins rotates every spectrum by ``+c``, so
+    decisions read ``(raw + q_section - c) mod n``. The fractional
+    residual IS still compensated in time domain — but evaluated at the
+    TRUE sample index ``(j - q) mod n`` (a per-frame [K, n] factor, not
+    a per-sample [K, win_len] one), otherwise the wrap region would
+    carry a ``2*pi*resid`` phase discontinuity and leak.
+
+    Exactness notes: magnitudes (decisions, SNR, probe scores, SRO) are
+    bit-level rotations of the aligned path's; complex DFT values carry
+    an extra per-frame constant phase, so phase-difference estimators
+    (preamble fine term) are invariant and float outputs agree to ulps.
+    Argmax TIES resolve in rotated order (real peaks never tie; the
+    equal-power contract gates the demodulate path, not this receiver).
+    """
+    from ..ops.planar import (_preamble_phase_step, argmax_bins_planar,
+                              dft_mag2_planar, estimate_preamble_planar,
+                              estimate_sro_planar)
+    from .stream import frame_overhead_samples
+
+    n, osr, step = params.n, params.osr, params.step
+    assert osr == 1 and step == n
+    lead = xr.shape[:-1]
+    T = xr.shape[-1]
+    pre_len = preamble_len * step
+    overhead = frame_overhead_samples(params, preamble_len)
+    ov_w, dq = overhead // step, overhead % step      # payload grid offset
+    win_full = overhead + n_payload_symbols * step
+    nwin_g = win_full // step + 4
+
+    w0 = jnp.floor_divide(start, step)    # >= -1 (scan keeps start >= -step)
+    q = jnp.mod(start, step)              # circular residual, [..., K]
+    widx = w0[..., None] + 1 + jnp.arange(nwin_g, dtype=jnp.int32)
+
+    def gather_rows(plane):
+        tail = (nwin_g + 2) * step + (-T) % step
+        # front pad of 2 windows: the buffer starts one window BEFORE the
+        # candidate so the probe can test the -step hypothesis
+        pad = jnp.pad(plane,
+                      [(0, 0)] * (plane.ndim - 1) + [(2 * step, tail)])
+        rows = pad.reshape(*lead, -1, step)
+        idx = jnp.clip(widx, 0, rows.shape[-2] - 1)
+        return jnp.take_along_axis(rows[..., None, :, :], idx[..., None],
+                                   axis=-2)      # [..., K, nwin_g, step]
+
+    g_r, g_i = gather_rows(xr), gather_rows(xi)
+
+    jj = jnp.arange(step, dtype=jnp.int32)
+    qq = q[..., None, None]
+    # payload grid: the 2.25-downchirp SFD puts the payload dq = step/4
+    # past the window grid; the carry bumps its base window by one
+    q_p = q + dq
+    cp = (q_p >= step).astype(jnp.int32)
+    q_p = q_p - cp * step
+    qqp = q_p[..., None, None]
+
+    dr0, di0 = base_downchirp_planar(params.sf, params.scale, params.osr)
+    dr0, di0 = jnp.asarray(dr0), jnp.asarray(di0)
+
+    # wrap constant: samples selected from the NEXT grid window sit one
+    # window later in the stream, where the anti-periodic lattice chirp
+    # has flipped sign relative to the per-window dechirp reference —
+    # pre-multiply them by conj(s0) so the dechirped w' is an exact
+    # single ramp (without it the tone splits half-a-bin, measured)
+    s0, _ = _circ_wrap_const(params)
+    s0r, s0i = jnp.float32(s0.real), jnp.float32(s0.imag)
+
+    def circ_select(wr_, wi_, nr_, ni_, m):
+        """w'[j] = j<q ? conj(s0)*next[j] : cur[j] (planar, fused)."""
+        return (jnp.where(m, nr_ * s0r + ni_ * s0i, wr_),
+                jnp.where(m, ni_ * s0r - nr_ * s0i, wi_))
+
+    # --- run-end disambiguation probes (same contract as the barrel
+    # path: 2 windows x 3 hypotheses, peak magnitudes are rotation- and
+    # CFO-invariant). Each probe window is a single circular select.
+    def _probe(m, down: bool):
+        sr, si_ = circ_select(g_r[..., m, :], g_i[..., m, :],
+                              g_r[..., m + 1, :], g_i[..., m + 1, :],
+                              jj < qq[..., 0])
+        if down:      # x * conj(down): concentrates downchirps
+            ur, ui = sr * dr0 + si_ * di0, si_ * dr0 - sr * di0
+        else:         # x * down: concentrates upchirps
+            ur, ui = sr * dr0 - si_ * di0, si_ * dr0 + sr * di0
+        _, pk = argmax_bins_planar(ur, ui, n, with_peak=True)
+        return pk
+
+    def hyp_score(woff):
+        return (_probe(woff + preamble_len + 1, down=False)
+                + _probe(woff + preamble_len + 2, down=True))
+
+    scores = jnp.stack([hyp_score(1), hyp_score(0), hyp_score(2)])
+    hyp = jnp.argmax(scores, axis=0)                   # [..., K] in {0,1,2}
+    start = start + jnp.where(hyp == 1, -step,
+                              jnp.where(hyp == 2, step, 0))
+    found = found & (start >= 0)      # unrescued negative-start alias
+    payload_start = start + overhead
+    found = found & (payload_start + n_payload_symbols * step <= T)
+    woff = jnp.where(hyp == 1, 0, jnp.where(hyp == 2, 2, 1))
+
+    def hyp_pick(gp, base, ln, sel, nsel):
+        """gp windows [base+sel .. base+sel+ln) for dynamic sel."""
+        out = gp[..., base + nsel - 1: base + nsel - 1 + ln, :]
+        for b in range(nsel - 2, -1, -1):
+            out = jnp.where(sel[..., None, None] == b,
+                            gp[..., base + b: base + b + ln, :], out)
+        return out
+
+    def section(base, ln, qsel, sel, nsel):
+        """[..., K, ln, step] true windows (rotated by qsel) at window
+        ``base + sel``: hypothesis pick first (narrow), then the
+        circular select against the +1-row halo."""
+        pr_ = hyp_pick(g_r, base, ln + 1, sel, nsel)
+        pi_ = hyp_pick(g_i, base, ln + 1, sel, nsel)
+        return circ_select(pr_[..., :-1, :], pi_[..., :-1, :],
+                           pr_[..., 1:, :], pi_[..., 1:, :], jj < qsel)
+
+    ps_r, ps_i = section(0, preamble_len + 2, qq, woff, 3)      # pre+sync
+    pd_r, pd_i = section(ov_w, n_payload_symbols, qqp, woff + cp, 4)
+
+    def dech(a_r, a_i):     # up-dechirp: x * down
+        return a_r * dr0 - a_i * di0, a_r * di0 + a_i * dr0
+
+    ps_r, ps_i = dech(ps_r, ps_i)
+    pd_r, pd_i = dech(pd_r, pd_i)
+
+    # residual fractional CFO from the rotated preamble spectra: the
+    # expected tone sits at (cfo_bins - q) mod n, and the estimator
+    # re-centers its signed wrap there and reports relative to it
+    _pps = _preamble_phase_step(params.sf, params.osr, params.scale)
+    b0 = jnp.mod(cfo_bins - q, n)
+    cfo_resid = estimate_preamble_planar(
+        ps_r[..., :preamble_len, :].reshape(*lead, max_frames, pre_len),
+        ps_i[..., :preamble_len, :].reshape(*lead, max_frames, pre_len),
+        n, osr, phase_step=_pps, bin_offset=b0)
+
+    # fractional derotation at the TRUE sample index (j - q) mod n —
+    # [K, n] cos/sin per section instead of [K, win_len]
+    rate = (-jnp.float32(2.0 * math.pi) * cfo_resid
+            / jnp.float32(n)).astype(jnp.float32)
+
+    def rot_factor(qs):
+        idx_true = (jj - qs[..., None]
+                    + jnp.where(jj < qs[..., None], n, 0)).astype(jnp.float32)
+        ph = rate[..., None] * idx_true
+        return jnp.cos(ph), jnp.sin(ph)                # [..., K, n]
+
+    def rot(a_r, a_i, c_, s_):
+        c_, s_ = c_[..., None, :], s_[..., None, :]
+        return a_r * c_ - a_i * s_, a_r * s_ + a_i * c_
+
+    ca, sa = rot_factor(q)
+    cb, sb_ = rot_factor(q_p)
+    sy_r, sy_i = rot(ps_r[..., preamble_len:, :],
+                     ps_i[..., preamble_len:, :], ca, sa)
+    pl_r, pl_i = rot(pd_r, pd_i, cb, sb_)
+    fr = jnp.concatenate([sy_r, pl_r], axis=-2)
+    fi = jnp.concatenate([sy_i, pl_i], axis=-2)
+    mag2 = dft_mag2_planar(fr, fi, n)                  # [..., K, 2+S, n]
+
+    # index correction: spectra are rotated by the circular residual and
+    # by the (skipped) integer-CFO derotation — raw = s + c - q_section
+    raw = jnp.argmax(mag2, axis=-1).astype(jnp.int32)
+    corr_s = jnp.mod(q - cfo_bins, n)[..., None]
+    corr_p = jnp.mod(q_p - cfo_bins, n)[..., None]
+    s_idx = jnp.arange(2 + n_payload_symbols, dtype=jnp.int32)
+    bins = jnp.mod(raw + jnp.where(s_idx < 2, corr_s, corr_p), n)
+    shift = (params.sf - 4) if params.sf > 4 else 0
+    hi = (bins[..., 0] >> shift) & 0x0F
+    lo = (bins[..., 1] >> shift) & 0x0F
+    sync_word = ((hi << 4) | lo).astype(jnp.uint8)
+    syms = bins[..., 2:].astype(jnp.uint16)
+
+    mag2_pay = mag2[..., 2:, :]
+    peak = jnp.max(mag2_pay, axis=-1)                  # [..., K, S]
+    noise = (jnp.sum(mag2_pay, axis=-1) - peak) / jnp.float32(n - 1)
+    snr_db = 10.0 * jnp.log10(
+        jnp.mean(peak, axis=-1) / jnp.maximum(jnp.mean(noise, axis=-1), 1e-30)
+    )
+    sro_ppm = estimate_sro_planar(
+        pd_r.reshape(*lead, max_frames, n_payload_symbols * step),
+        pd_i.reshape(*lead, max_frames, n_payload_symbols * step), params)
+    return BlockFrames(found, start, cfo_bins, syms, sync_word,
+                       cfo_resid, jnp.zeros_like(cfo_resid),
+                       snr_db.astype(jnp.float32), sro_ppm)
+
+
 @partial(jax.jit, static_argnames=("params", "n_payload_symbols",
                                    "max_frames", "preamble_len",
                                    "min_power_db", "pre_acc"))
@@ -318,6 +549,17 @@ def receive_block_planar(xr, xi, params: LoraParams,
 
     start = pick(scan.start)                                  # [..., K]
     cfo_bins = pick(scan.cfo_bins)
+
+    from .modem import _window_table
+
+    if (osr == 1 and pre_acc == 1 and _window_table(params) is None
+            and _circ_wrap_const(params)[1]):
+        # shift-free circular extraction: the barrel shifter and the
+        # integer-CFO derotation both fold into index arithmetic
+        # (measured 16.7 -> see README block-rx row; docs/SEMANTICS.md)
+        return _receive_block_circular(xr, xi, params, n_payload_symbols,
+                                       max_frames, preamble_len,
+                                       start, cfo_bins, found)
 
     # --- window extraction: row gather + barrel shift -------------------
     # Per-frame ``dynamic_slice`` costs ~5 us EACH on this chip

@@ -352,7 +352,7 @@ def _preamble_phase_step(sf: int, osr: int, scale: float) -> float:
 
 
 def estimate_preamble_planar(pr, pi, n: int, osr: int,
-                             phase_step: float = 0.0):
+                             phase_step: float = 0.0, bin_offset=None):
     """Unbiased residual-CFO estimate from dechirped PREAMBLE windows.
 
     The reference-mirroring 2-symbol estimator reads the sync pair's bins
@@ -368,13 +368,24 @@ def estimate_preamble_planar(pr, pi, n: int, osr: int,
     ``phase_step``: the modulator's deterministic inter-symbol phase
     delta (:func:`_preamble_phase_step`), subtracted from the slope so
     the fine term measures the channel alone.
+
+    ``bin_offset`` ([...]-shaped int32): expected integer bin of the
+    preamble tones, for callers whose spectra arrive rotated by a known
+    shift (the block receiver's circular window extraction). The signed
+    wrap re-centers on it — otherwise a rotated tone near the +-n/2
+    boundary would split the coarse mean across wrap branches — and the
+    estimate is returned RELATIVE to it (i.e. already un-rotated).
     """
     lead = pr.shape[:-1]
     s = pr.shape[-1] // (n * osr)
     vr = pr[..., : s * n * osr].reshape(*lead, s, n, osr)[..., 0]
     vi = pi[..., : s * n * osr].reshape(*lead, s, n, osr)[..., 0]
     det = detect_planar(vr, vi, n)
-    sb = jnp.where(det.index > n // 2, det.index - n, det.index)
+    if bin_offset is None:
+        sb = jnp.where(det.index > n // 2, det.index - n, det.index)
+    else:
+        b0 = jnp.asarray(bin_offset, jnp.int32)[..., None]
+        sb = jnp.mod(det.index - b0 + n // 2, n) - n // 2
     coarse = jnp.mean(sb.astype(jnp.float32) + det.findex, axis=-1)
     if s < 2:
         # one window has no phase slope: the coarse term alone (an

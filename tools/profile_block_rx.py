@@ -3,14 +3,23 @@
 
 Reproduces bench.py's block-receiver workload (8 channels x 512 frames of
 16-byte payloads, SF7, ~25.3M samples) and times CUMULATIVE prefixes of
-the receive_block_planar pipeline, each compiled as its own jit returning
-a scalar checksum (so XLA cannot dead-code the stage under test, and the
+the CIRCULAR fast path of ``receive_block_planar`` (the production
+pipeline at osr=1 / rectangular window — models/sync.py
+``_receive_block_circular``), each compiled as its own jit returning a
+scalar checksum (so XLA cannot dead-code the stage under test, and the
 d2h of the scalar is the completion barrier this PJRT needs, CLAUDE.md).
 
-Deltas between consecutive prefixes attribute wall time to: scan,
-candidate select, window gather+shift, SFD probes, hypothesis window
-select, derotation+dechirp, demod spectrum+decisions, SNR+SRO
-observables.
+Deltas between consecutive prefixes attribute wall time to: scan +
+candidate select (front), row gather, SFD probes, section selects,
+dechirp, preamble estimator, rotation + DFT + decisions, SRO.  NOTE:
+prefixes that drop a downstream consumer also let XLA dead-code interior
+work (e.g. the ``estimator`` prefix DCEs the payload section), so deltas
+can be negative — read them as "cost of what this prefix newly keeps
+alive", and trust ``full-receiver`` as the end-to-end number.
+
+The d2h sync roundtrip on this tunnel costs ~27-30 ms (round 3; it was
+~2 ms in round 2) — every timing here amortizes it over ``iters`` and
+the loop syncs ONCE at the end.
 
 Usage: python tools/profile_block_rx.py [--frames=512]
 """
@@ -34,13 +43,14 @@ def main() -> None:
     from lora_phy_tpu.models import stream as streammod
     from lora_phy_tpu.models import sync as syncmod
     from lora_phy_tpu.models.stream import frame_overhead_samples
-    from lora_phy_tpu.models.sync import _kth_valid, frame_sync_scan_planar
+    from lora_phy_tpu.models.sync import (_circ_wrap_const, _kth_valid,
+                                          frame_sync_scan_planar)
     from lora_phy_tpu.ops.chirp import base_downchirp_planar
-    from lora_phy_tpu.ops.planar import (
-        _preamble_phase_step, argmax_bins_planar, dechirp_planar,
-        demodulate_spectrum_planar, estimate_preamble_planar,
-        estimate_sro_planar,
-    )
+    from lora_phy_tpu.ops.planar import (_preamble_phase_step,
+                                         argmax_bins_planar,
+                                         dft_mag2_planar,
+                                         estimate_preamble_planar,
+                                         estimate_sro_planar)
     from lora_phy_tpu.utils.params import LoraParams
 
     fpc = 512
@@ -54,7 +64,13 @@ def main() -> None:
         fpc = min(fpc, 8)
     channels, pl_len = 8, 16
     n_pay = pl_len * 2
+    n, osr, step = params.n, params.osr, params.step
     gap = 4 * params.step
+    max_frames, preamble_len = fpc, 8
+    pre_len = preamble_len * step
+    overhead = frame_overhead_samples(params, preamble_len)
+    ov_w, dq = overhead // step, overhead % step
+    nwin_g = (overhead + n_pay * step) // step + 4
     rng = np.random.RandomState(0)
     pay_blk = rng.randint(0, 256, (channels, pl_len)).astype(np.uint8)
     dev = jax.devices()[0]
@@ -69,26 +85,22 @@ def main() -> None:
 
     br, bi = framed_stream(jax.device_put(pay_blk, dev))
     np.asarray(br[0, :2])
+    T = br.shape[-1]
+    lead = br.shape[:-1]
     total = br.shape[0] * br.shape[1]
     print(f"workload: {total/1e6:.1f}M samples, {channels}x{fpc} frames",
           file=sys.stderr)
 
-    # ---- pipeline stages, mirroring models/sync.py receive_block_planar --
-    n, osr, step = params.n, params.osr, params.step
-    max_frames, preamble_len = fpc, 8
-    pre_len = preamble_len * step
-    overhead = frame_overhead_samples(params, preamble_len)
-    win_full = overhead + n_pay * step
-    nwin_f = win_full // step + 4
-    win_len = pre_len + (2 + n_pay) * step
+    dr0_np, di0_np = base_downchirp_planar(params.sf, params.scale,
+                                           params.osr)
+    s0, s0_ok = _circ_wrap_const(params)
+    assert s0_ok, "lattice not (anti)periodic: fast path would not dispatch"
     _pps = _preamble_phase_step(params.sf, params.osr, params.scale)
 
-    def stage_scan(xr, xi):
-        return frame_sync_scan_planar(xr, xi, params, preamble_len,
+    # ---- stages, mirroring models/sync._receive_block_circular ----------
+    def front(xr, xi):
+        scan = frame_sync_scan_planar(xr, xi, params, preamble_len,
                                       min_power_db=-30.0)
-
-    def stage_select(xr, xi):
-        scan = stage_scan(xr, xi)
         pos, found = _kth_valid(scan.valid, max_frames)
 
         def pick(field):
@@ -96,128 +108,121 @@ def main() -> None:
 
         return pick(scan.start), pick(scan.cfo_bins), found
 
-    def make_gather(xr, xi):
-        start, cfo_bins, found = stage_select(xr, xi)
-        lead = xr.shape[:-1]
-        T = xr.shape[-1]
+    def gathered(xr, xi):
+        start, cfo_bins, found = front(xr, xi)
         w0 = jnp.floor_divide(start, step)
-        rsub = jnp.mod(start, step)
-        widx = w0[..., None] + 1 + jnp.arange(nwin_f, dtype=jnp.int32)
+        q = jnp.mod(start, step)
+        widx = w0[..., None] + 1 + jnp.arange(nwin_g, dtype=jnp.int32)
 
-        def gather_shift(plane):
-            tail = (nwin_f + 2) * step + (-T) % step
+        def gather_rows(plane):
+            tail = (nwin_g + 2) * step + (-T) % step
             pad = jnp.pad(plane,
                           [(0, 0)] * (plane.ndim - 1) + [(2 * step, tail)])
             rows = pad.reshape(*lead, -1, step)
             idx = jnp.clip(widx, 0, rows.shape[-2] - 1)
-            g = jnp.take_along_axis(rows[..., None, :, :], idx[..., None],
-                                    axis=-2)
-            x = g.reshape(*lead, max_frames, nwin_f * step)
-            for b in range((step - 1).bit_length()):
-                k = 1 << b
-                on = ((rsub >> b) & 1).astype(bool)[..., None]
-                sh = jnp.concatenate(
-                    [x[..., k:], jnp.zeros(x.shape[:-1] + (k,), x.dtype)], -1)
-                x = jnp.where(on, sh, x)
-            return x
+            return jnp.take_along_axis(rows[..., None, :, :],
+                                       idx[..., None], axis=-2)
 
-        return gather_shift(xr), gather_shift(xi), start, cfo_bins, found
+        return gather_rows(xr), gather_rows(xi), start, cfo_bins, found, q
 
-    def stage_gather(xr, xi):
-        gr_, gi_, start, cfo_bins, found = make_gather(xr, xi)
-        return gr_, gi_
-
-    dr0_np, di0_np = base_downchirp_planar(params.sf, params.scale, params.osr)
-
-    def make_hyp(gr_, gi_):
-        lead = gr_.shape[:-2]
+    def build(xr, xi, upto):
+        g_r, g_i, start, cfo_bins, found, q = gathered(xr, xi)
+        if upto == "gather":
+            return g_r, g_i
+        jj = jnp.arange(step, dtype=jnp.int32)
+        qq = q[..., None, None]
+        q_p = q + dq
+        cp = (q_p >= step).astype(jnp.int32)
+        q_p = q_p - cp * step
+        qqp = q_p[..., None, None]
         dr0, di0 = jnp.asarray(dr0_np), jnp.asarray(di0_np)
+        s0r, s0i = jnp.float32(s0.real), jnp.float32(s0.imag)
 
-        def _probe(a, down: bool):
-            sr = gr_[..., a:a + step]
-            si_ = gi_[..., a:a + step]
+        def circ_select(wr_, wi_, nr_, ni_, m):
+            return (jnp.where(m, nr_ * s0r + ni_ * s0i, wr_),
+                    jnp.where(m, ni_ * s0r - nr_ * s0i, wi_))
+
+        def _probe(m, down):
+            sr, si_ = circ_select(g_r[..., m, :], g_i[..., m, :],
+                                  g_r[..., m + 1, :], g_i[..., m + 1, :],
+                                  jj < qq[..., 0])
             if down:
                 ur, ui = sr * dr0 + si_ * di0, si_ * dr0 - sr * di0
             else:
                 ur, ui = sr * dr0 - si_ * di0, si_ * dr0 + sr * di0
-            ur = ur.reshape(*lead, max_frames, n, osr)[..., 0]
-            ui = ui.reshape(*lead, max_frames, n, osr)[..., 0]
             _, pk = argmax_bins_planar(ur, ui, n, with_peak=True)
             return pk
 
-        def hyp_score(boff):
-            return (_probe(boff + (preamble_len + 1) * step, down=False)
-                    + _probe(boff + (preamble_len + 2) * step, down=True))
+        def hyp_score(woff):
+            return (_probe(woff + preamble_len + 1, False)
+                    + _probe(woff + preamble_len + 2, True))
 
-        scores = jnp.stack([hyp_score(step), hyp_score(0),
-                            hyp_score(2 * step)])
-        return jnp.argmax(scores, axis=0)
+        scores = jnp.stack([hyp_score(1), hyp_score(0), hyp_score(2)])
+        hyp = jnp.argmax(scores, axis=0)
+        if upto == "probes":
+            return hyp
+        woff = jnp.where(hyp == 1, 0, jnp.where(hyp == 2, 2, 1))
 
-    def stage_probe(xr, xi):
-        gr_, gi_, start, cfo_bins, found = make_gather(xr, xi)
-        hyp = make_hyp(gr_, gi_)
-        return hyp, gr_
+        def hyp_pick(gp, base, ln, sel, nsel):
+            out = gp[..., base + nsel - 1: base + nsel - 1 + ln, :]
+            for b in range(nsel - 2, -1, -1):
+                out = jnp.where(sel[..., None, None] == b,
+                                gp[..., base + b: base + b + ln, :], out)
+            return out
 
-    def make_window(gr_, gi_, hyp):
-        def window(buf):
-            boff = (jnp.where(hyp == 1, 0, jnp.where(hyp == 2, 2, 1))
-                    * step)[..., None]
+        def section(base, ln, qsel, sel, nsel):
+            pr_ = hyp_pick(g_r, base, ln + 1, sel, nsel)
+            pi_ = hyp_pick(g_i, base, ln + 1, sel, nsel)
+            return circ_select(pr_[..., :-1, :], pi_[..., :-1, :],
+                               pr_[..., 1:, :], pi_[..., 1:, :], jj < qsel)
 
-            def sec(a, ln):
-                early = buf[..., a:a + ln]
-                mid = buf[..., a + step:a + step + ln]
-                late = buf[..., a + 2 * step:a + 2 * step + ln]
-                return jnp.where(boff == 0, early,
-                                 jnp.where(boff == 2 * step, late, mid))
+        ps_r, ps_i = section(0, preamble_len + 2, qq, woff, 3)
+        pd_r, pd_i = section(ov_w, n_pay, qqp, woff + cp, 4)
+        if upto == "sections":
+            return ps_r, ps_i, pd_r, pd_i
 
-            return jnp.concatenate(
-                [sec(0, pre_len), sec(pre_len, 2 * step),
-                 sec(overhead, n_pay * step)], axis=-1)
+        def dech(a_r, a_i):
+            return a_r * dr0 - a_i * di0, a_r * di0 + a_i * dr0
 
-        return window(gr_), window(gi_)
+        ps_r, ps_i = dech(ps_r, ps_i)
+        pd_r, pd_i = dech(pd_r, pd_i)
+        if upto == "dechirp":
+            return ps_r, ps_i, pd_r, pd_i
 
-    def stage_window(xr, xi):
-        gr_, gi_, start, cfo_bins, found = make_gather(xr, xi)
-        hyp = make_hyp(gr_, gi_)
-        return make_window(gr_, gi_, hyp)
-
-    def make_derot(wr, wi, cfo_bins):
-        idx = jnp.arange(win_len, dtype=jnp.float32)
-        ph = (-2.0 * math.pi / step) * cfo_bins.astype(
-            jnp.float32)[..., None] * idx
-        c, s = jnp.cos(ph), jnp.sin(ph)
-        dr = wr * c - wi * s
-        di = wr * s + wi * c
-        return dechirp_planar(dr, di, params)
-
-    def stage_derot(xr, xi):
-        gr_, gi_, start, cfo_bins, found = make_gather(xr, xi)
-        hyp = make_hyp(gr_, gi_)
-        wr, wi = make_window(gr_, gi_, hyp)
-        return make_derot(wr, wi, cfo_bins)
-
-    def make_demod(yr, yi):
+        b0 = jnp.mod(cfo_bins - q, n)
         cfo_resid = estimate_preamble_planar(
-            yr[..., :pre_len], yi[..., :pre_len], n, osr, phase_step=_pps)
-        mag2, sync_word, cfo, time_offset = demodulate_spectrum_planar(
-            yr[..., pre_len:], yi[..., pre_len:], params,
-            known_offsets=(cfo_resid, jnp.zeros_like(cfo_resid)),
-        )
-        syms = jnp.argmax(mag2, axis=-1).astype(jnp.uint16)
-        return mag2, syms, sync_word, cfo_resid
+            ps_r[..., :preamble_len, :].reshape(*lead, max_frames, pre_len),
+            ps_i[..., :preamble_len, :].reshape(*lead, max_frames, pre_len),
+            n, osr, phase_step=_pps, bin_offset=b0)
+        if upto == "estimator":
+            return cfo_resid
+        rate = -jnp.float32(2.0 * math.pi) * cfo_resid / jnp.float32(n)
 
-    def stage_demod(xr, xi):
-        gr_, gi_, start, cfo_bins, found = make_gather(xr, xi)
-        hyp = make_hyp(gr_, gi_)
-        wr, wi = make_window(gr_, gi_, hyp)
-        yr, yi = make_derot(wr, wi, cfo_bins)
-        mag2, syms, sync_word, cfo_resid = make_demod(yr, yi)
-        return syms, sync_word
+        def rot_factor(qs):
+            idx_true = (jj - qs[..., None] + jnp.where(
+                jj < qs[..., None], n, 0)).astype(jnp.float32)
+            ph = rate[..., None] * idx_true
+            return jnp.cos(ph), jnp.sin(ph)
 
-    def stage_full(xr, xi):
-        return syncmod.receive_block_planar(
-            xr, xi, params, n_pay, max_frames=max_frames,
-            min_power_db=-30.0)
+        def rot(a_r, a_i, c_, s_):
+            c_, s_ = c_[..., None, :], s_[..., None, :]
+            return a_r * c_ - a_i * s_, a_r * s_ + a_i * c_
+
+        ca, sa = rot_factor(q)
+        cb, sb_ = rot_factor(q_p)
+        sy_r, sy_i = rot(ps_r[..., preamble_len:, :],
+                         ps_i[..., preamble_len:, :], ca, sa)
+        pl_r, pl_i = rot(pd_r, pd_i, cb, sb_)
+        fr = jnp.concatenate([sy_r, pl_r], axis=-2)
+        fi = jnp.concatenate([sy_i, pl_i], axis=-2)
+        mag2 = dft_mag2_planar(fr, fi, n)
+        raw = jnp.argmax(mag2, axis=-1).astype(jnp.int32)
+        if upto == "demod":
+            return raw
+        sro = estimate_sro_planar(
+            pd_r.reshape(*lead, max_frames, n_pay * step),
+            pd_i.reshape(*lead, max_frames, n_pay * step), params)
+        return raw, sro
 
     def cksum(*outs):
         acc = jnp.float32(0)
@@ -225,22 +230,20 @@ def main() -> None:
             acc = acc + jnp.sum(o.astype(jnp.float32)[..., :1])
         return acc
 
-    stages = [
-        ("scan", stage_scan),
-        ("select", stage_select),
-        ("gather+shift", stage_gather),
-        ("probes", stage_probe),
-        ("hyp window", stage_window),
-        ("derot+dechirp", stage_derot),
-        ("demod", stage_demod),
-        ("full(+snr,sro)", stage_full),
-    ]
-
-    iters = 4 if platform != "cpu" else 1
+    stages = ["front", "gather", "probes", "sections", "dechirp",
+              "estimator", "demod", "all", "full-receiver"]
+    iters = 24 if platform != "cpu" else 1
     prev = 0.0
-    print(f"{'prefix':>16} {'ms':>9} {'delta ms':>9}")
-    for name, fn in stages:
-        f = jax.jit(lambda r, i, fn=fn: cksum(fn(r, i)))
+    print(f"{'prefix':>14} {'ms':>9} {'delta ms':>9}")
+    for name in stages:
+        if name == "front":
+            f = jax.jit(lambda r, i: cksum(front(r, i)))
+        elif name == "full-receiver":
+            f = jax.jit(lambda r, i: cksum(syncmod.receive_block_planar(
+                r, i, params, n_pay, max_frames=max_frames,
+                min_power_db=-30.0)))
+        else:
+            f = jax.jit(lambda r, i, u=name: cksum(build(r, i, u)))
         out = f(br, bi)
         np.asarray(out)               # compile + first run
         t0 = time.perf_counter()
@@ -248,7 +251,7 @@ def main() -> None:
             out = f(br, bi)
         np.asarray(out)
         dt = (time.perf_counter() - t0) / iters * 1e3
-        print(f"{name:>16} {dt:9.2f} {dt - prev:9.2f}", flush=True)
+        print(f"{name:>14} {dt:9.2f} {dt - prev:9.2f}", flush=True)
         prev = dt
 
 
