@@ -234,7 +234,8 @@ def _shifted_rows(x, t_off, step: int):
     return y.reshape(x.shape)
 
 
-def _shifted_symbol_gather(x, total_symbols: int, n: int, osr: int, t_off):
+def _shifted_symbol_gather(x, total_symbols: int, n: int, osr: int, t_off,
+                           dec_phase: int = 0):
     """[..., S, N] decimated symbol windows with the reference's guarded
     per-symbol timing-offset shift (src/phy/LoRaDemod.cpp:141-149):
     a symbol uses the shifted window only when the shift stays in range,
@@ -243,6 +244,14 @@ def _shifted_symbol_gather(x, total_symbols: int, n: int, osr: int, t_off):
     ``t_off`` is an int32 with the batch's leading dims. When every frame
     in the batch has a zero offset (the common steady-state case) the
     whole-row shift copy is skipped via ``lax.cond``.
+
+    ``dec_phase`` (static): which of the ``osr`` decimation phases to
+    keep. The reference's one-sample-early TX fold puts the exact
+    dechirped tone at phase ``osr-1`` (docs/SEMANTICS.md §TX fold;
+    phase 0 splits it into half-power twin peaks at ``sym±1``) —
+    receivers that INJECT a known time offset instead of estimating it
+    (the reference's estimator absorbs the skew into ``t_off``) must
+    select it explicitly. Default 0 = the reference-mirroring contract.
     """
     step = n * osr
     sample_count = total_symbols * step
@@ -250,7 +259,7 @@ def _shifted_symbol_gather(x, total_symbols: int, n: int, osr: int, t_off):
 
     def symview(a):
         v = a.reshape(*a.shape[:-1], total_symbols, n, osr)
-        return v[..., 0]                                   # decimate i*osr
+        return v[..., dec_phase]                           # decimate i*osr+p
 
     def no_shift(x):
         return symview(x)

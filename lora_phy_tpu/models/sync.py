@@ -100,14 +100,24 @@ def frame_sync_scan_planar(xr, xi, params: LoraParams,
     dr, di = base_downchirp_planar(params.sf, params.scale, params.osr)
     dr, di = jnp.asarray(dr), jnp.asarray(di)
 
+    # decimation phase: the reference generator's one-sample-early fold
+    # applies at EVERY chirp-period boundary — preamble repetitions and
+    # the SFD included, not just modulated symbols — so at osr>1 any
+    # grid window straddling a boundary carries the fold's spurious
+    # constant (pi at osr=2) between its two segments and splits its
+    # tone at phase 0 (run detection then never sees an equal-bin run
+    # for mid-window arrivals; measured 59/61 alternation). Phase osr-1
+    # is where the folded lattice is exact (docs/SEMANTICS.md §TX fold).
+    dph = 0 if (params.continuous_chirp or osr == 1) else osr - 1
+
     # up-dechirp (x * down) and down-dechirp (x * conj(down)), decimated;
     # both branches ride ONE stacked DFT+argmax call (measured 18.1 ->
     # 14.8 ms on the bench scan workload vs two calls). Peaks are always
     # computed: the downchirp-section detector needs the down-vs-up
     # dominance discriminant below.
     def windows(pr, pi):
-        return (pr.reshape(*lead, nwin, n, osr)[..., 0],
-                pi.reshape(*lead, nwin, n, osr)[..., 0])
+        return (pr.reshape(*lead, nwin, n, osr)[..., dph],
+                pi.reshape(*lead, nwin, n, osr)[..., dph])
 
     ur, ui = windows(ar * dr - ai * di, ar * di + ai * dr)
     vr, vi = windows(ar * dr + ai * di, ai * dr - ar * di)
@@ -156,10 +166,22 @@ def frame_sync_scan_planar(xr, xi, params: LoraParams,
         up_peak_pair = jnp.max(up2, axis=-1) / 2.0
 
     # --- preamble run lengths (vectorized run-detect) ---------------------
+    # At osr>1 a sub-osr arrival phase puts the dechirped preamble tone
+    # at a half-bin (e.g. odd-sample arrivals at osr=2: -rsub/osr ends
+    # in .5), where the per-window argmax flips between the two adjacent
+    # bins on float rounding and an exact-equality run never forms —
+    # accept +-1-bin neighbors there. osr=1 keeps the exact-equality
+    # contract (tones are integer bins; tolerance would only weaken
+    # noise selectivity). The run-end bin then wanders +-1: downstream
+    # absorbs it (integer CFO error rides the preamble-anchored
+    # fractional estimator; timing error rides the sub-osr refinement).
     w_idx = jnp.arange(nwin, dtype=jnp.int32)
-    eq = jnp.concatenate(
-        [jnp.zeros(lead + (1,), bool), ub[..., 1:] == ub[..., :-1]], axis=-1
-    )
+    if osr == 1:
+        adj = ub[..., 1:] == ub[..., :-1]
+    else:
+        d_ub = jnp.mod(ub[..., 1:] - ub[..., :-1], n)
+        adj = (d_ub == 0) | (d_ub == 1) | (d_ub == n - 1)
+    eq = jnp.concatenate([jnp.zeros(lead + (1,), bool), adj], axis=-1)
     last_false = jax.lax.cummax(
         jnp.where(eq, jnp.int32(-1), w_idx).astype(jnp.int32), axis=len(lead)
     )
@@ -180,8 +202,14 @@ def frame_sync_scan_planar(xr, xi, params: LoraParams,
     # (silence: 0 > 0 is False) without touching genuine frames. --------
     if pre_acc == 1:
         dn_dom = dn_peak > up_peak
+        if osr == 1:
+            db_adj = db[..., 1:] == db[..., :-1]
+        else:
+            # same half-bin flip tolerance as the preamble run above
+            d_db = jnp.mod(db[..., 1:] - db[..., :-1], n)
+            db_adj = (d_db == 0) | (d_db == 1) | (d_db == n - 1)
         db_eq = jnp.concatenate(
-            [(db[..., 1:] == db[..., :-1]) & dn_dom[..., :-1],
+            [db_adj & dn_dom[..., :-1],
              jnp.zeros(lead + (1,), bool)], axis=-1
         )                                             # db_eq[c] = db[c]==db[c+1]
     else:
@@ -622,6 +650,15 @@ def receive_block_planar(xr, xi, params: LoraParams,
     dr0, di0 = base_downchirp_planar(params.sf, params.scale, params.osr)
     dr0, di0 = jnp.asarray(dr0), jnp.asarray(di0)
 
+    # decimation phase: the reference's one-sample-early TX fold puts the
+    # exact dechirped tone of every MODULATED symbol (sync word, payload;
+    # the base-chirp preamble/SFD never fold) at phase osr-1 — phase 0
+    # splits it into half-power twins at sym±1 and mis-decodes ~half the
+    # alphabet (docs/SEMANTICS.md §TX fold). The serial demod path
+    # self-heals via its estimated time offset; this receiver INJECTS
+    # t_off=0 from the sample-accurate scan, so it must pick the phase.
+    dec_phase = 0 if (params.continuous_chirp or osr == 1) else osr - 1
+
     def _probe(a, down: bool):
         sr = gr_[..., a:a + step]
         si_ = gi_[..., a:a + step]
@@ -629,8 +666,8 @@ def receive_block_planar(xr, xi, params: LoraParams,
             ur, ui = sr * dr0 + si_ * di0, si_ * dr0 - sr * di0
         else:         # x * down: concentrates upchirps
             ur, ui = sr * dr0 - si_ * di0, si_ * dr0 + sr * di0
-        ur = ur.reshape(*lead, max_frames, n, osr)[..., 0]
-        ui = ui.reshape(*lead, max_frames, n, osr)[..., 0]
+        ur = ur.reshape(*lead, max_frames, n, osr)[..., dec_phase]
+        ui = ui.reshape(*lead, max_frames, n, osr)[..., dec_phase]
         _, pk = argmax_bins_planar(ur, ui, n, with_peak=True)
         return pk
 
@@ -645,6 +682,65 @@ def receive_block_planar(xr, xi, params: LoraParams,
     start = start + jnp.where(hyp == 1, -step,
                               jnp.where(hyp == 2, step, 0))
     found = found & (start >= 0)      # unrescued negative-start alias
+    # -------------------------------------------------------------------
+
+    # --- sub-osr timing refinement (osr>1) ------------------------------
+    # The scan's tau rides integer argmax bins, so start is quantized to
+    # the osr-sample lattice (a half-bin arrival rounds +-osr/2; the
+    # tolerant run-end adds up to +-1 bin = +-osr). The residual ``e``
+    # makes the fold's decimation lattice (dec_phase = osr-1) inexact
+    # and splits modulated tones. Measure it exactly from the two-sided
+    # fractional split — up-dechirped PURE preamble windows sit at
+    # -e/osr bins off the integer CFO, the down-dechirped first full SFD
+    # window at +e/osr (measured: e = (d_dn - d_up) * osr/2, exact on
+    # the lattice) — then micro-shift the gathered buffer by e.
+    if osr > 1 and pre_acc == 1:
+        from ..ops.planar import detect_planar
+
+        boff_e = (jnp.where(hyp == 1, 0, jnp.where(hyp == 2, 2, 1))
+                  * step)[..., None]
+
+        def _disp(a_off, down: bool):
+            def pick_win(buf):
+                early = buf[..., a_off:a_off + step]
+                mid = buf[..., a_off + step:a_off + 2 * step]
+                late = buf[..., a_off + 2 * step:a_off + 3 * step]
+                return jnp.where(boff_e == 0, early,
+                                 jnp.where(boff_e == 2 * step, late, mid))
+
+            sr = pick_win(gr_)
+            si_ = pick_win(gi_)
+            if down:
+                ur, ui = sr * dr0 + si_ * di0, si_ * dr0 - sr * di0
+            else:
+                ur, ui = sr * dr0 - si_ * di0, si_ * dr0 + sr * di0
+            vr = ur.reshape(*lead, max_frames, n, osr)[..., dec_phase]
+            vi = ui.reshape(*lead, max_frames, n, osr)[..., dec_phase]
+            det = detect_planar(vr, vi, n)
+            dd = jnp.mod(det.index - cfo_bins + n // 2, n) - n // 2
+            return dd.astype(jnp.float32) + det.findex
+
+        d_up = 0.5 * (_disp(3 * step, down=False)
+                      + _disp(5 * step, down=False))
+        d_dn = _disp((preamble_len + 2) * step, down=True)
+        e = jnp.clip(jnp.round((d_dn - d_up) * (osr / 2.0)),
+                     -osr, osr).astype(jnp.int32)
+        start = start + e
+        found = found & (start >= 0)
+        s_amt = e + osr                                # in [0, 2*osr]
+
+        def _micro_shift(x):
+            xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(osr, osr)])
+            for b in range((2 * osr).bit_length()):
+                k = 1 << b
+                on = ((s_amt >> b) & 1).astype(bool)[..., None]
+                sh = jnp.concatenate(
+                    [xp[..., k:],
+                     jnp.zeros(xp.shape[:-1] + (k,), xp.dtype)], -1)
+                xp = jnp.where(on, sh, xp)
+            return xp[..., :x.shape[-1]]
+
+        gr_, gi_ = _micro_shift(gr_), _micro_shift(gi_)
     # -------------------------------------------------------------------
 
     payload_start = start + overhead
@@ -716,6 +812,7 @@ def receive_block_planar(xr, xi, params: LoraParams,
         mag2, sync_word, cfo, time_offset = demodulate_spectrum_planar(
             yr[..., pre_len:], yi[..., pre_len:], params,
             known_offsets=(cfo_resid, jnp.zeros_like(cfo_resid)),
+            dec_phase=dec_phase,
         )
     else:
         # noncoherent path combining: correlate every symbol's |DFT|²
@@ -731,9 +828,9 @@ def receive_block_planar(xr, xi, params: LoraParams,
 
         s_tot = 2 + n_payload_symbols
         vw_r = yr[..., pre_len:].reshape(
-            *lead, max_frames, s_tot, n, osr)[..., 0]
+            *lead, max_frames, s_tot, n, osr)[..., dec_phase]
         vw_i = yi[..., pre_len:].reshape(
-            *lead, max_frames, s_tot, n, osr)[..., 0]
+            *lead, max_frames, s_tot, n, osr)[..., dec_phase]
         m2 = dft_mag2_planar(vw_r, vw_i, n)
         mr, mi = dft_planar(m2, jnp.zeros_like(m2), n)
         sr_, si_ = dft_planar(sig, jnp.zeros_like(sig), n)

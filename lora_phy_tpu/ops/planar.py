@@ -503,7 +503,7 @@ def demodulate_planar(xr, xi, params: LoraParams, fused: bool = False,
 
 
 def _demod_stage_planar(xr, xi, params: LoraParams, assume_normalized,
-                        known_offsets):
+                        known_offsets, dec_phase: int = 0):
     """Common front of the planar demod: normalisation scan, offset
     estimate (or injection), shifted symbol windows.
 
@@ -556,8 +556,8 @@ def _demod_stage_planar(xr, xi, params: LoraParams, assume_normalized,
     # doubles it (measured: stacking OOMed the 554M-sample bench batch).
     from ..models.modem import _shifted_symbol_gather
 
-    yr = _shifted_symbol_gather(xr, total_symbols, n, osr, t_off)
-    yi = _shifted_symbol_gather(xi, total_symbols, n, osr, t_off)
+    yr = _shifted_symbol_gather(xr, total_symbols, n, osr, t_off, dec_phase)
+    yi = _shifted_symbol_gather(xi, total_symbols, n, osr, t_off, dec_phase)
     return yr, yi, rate, t_off, scale, cfo, time_offset
 
 
@@ -595,18 +595,23 @@ def _rotated_windows_planar(yr, yi, rate, t_off, scale, params: LoraParams):
 
 
 @partial(jax.jit, static_argnames=("params", "assume_normalized",
-                                   "precision"))
+                                   "precision", "dec_phase"))
 def demodulate_spectrum_planar(xr, xi, params: LoraParams,
                                assume_normalized: bool = False,
                                precision: str = "f32",
-                               known_offsets=None):
+                               known_offsets=None, dec_phase: int = 0):
     """Same pipeline as :func:`demodulate_planar` but returns the full
     |DFT|² spectra of the DATA symbols (sync pair stripped) for
-    soft-decision decoding: ``(mag2 [..., S-2, N], sync, cfo, to)``."""
+    soft-decision decoding: ``(mag2 [..., S-2, N], sync, cfo, to)``.
+
+    ``dec_phase`` (static): decimation phase of the symbol windows —
+    pass ``osr-1`` when receiving the reference's default TX fold with
+    an injected ``known_offsets`` time offset of 0 (the fold's exact
+    tone lives at that phase; see modem._shifted_symbol_gather)."""
     n = params.n
     mxu_dtype = jnp.bfloat16 if precision == "bf16" else None
     yr, yi, rate, t_off, scale, cfo, time_offset = _demod_stage_planar(
-        xr, xi, params, assume_normalized, known_offsets
+        xr, xi, params, assume_normalized, known_offsets, dec_phase
     )
     fr, fi = _rotated_windows_planar(yr, yi, rate, t_off, scale, params)
     mag2 = dft_mag2_planar(fr, fi, n, mxu_dtype=mxu_dtype)

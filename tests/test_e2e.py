@@ -303,20 +303,22 @@ def test_gr_capture_all_frames(reference_dir):
         assert payload == f"hello world: {i}".encode()
 
 
-@pytest.mark.parametrize("sf", [7, 8, 10, 12])
+@pytest.mark.parametrize("sf", [7, 8, 9, 10, 11, 12])
 @pytest.mark.parametrize("ldro", [False, True])
 @pytest.mark.parametrize("implicit", [False, True])
 def test_gr_interop_cell_matrix(sf, ldro, implicit):
     """All four ldro x implheader cells of the gr-lora_sdr capture naming
     convention (reference: vectors_binary/ 'ldro_false..._implheader_false'
-    naming), across SFs: TX -> RX round trip with CRC verification.
-    SF>7 explicit headers carry payload spillover nibbles in the
-    reduced-rate first block, as gr does."""
+    naming), across every SF 7-12 and every CR 4/5..4/8: TX -> RX round
+    trip with CRC verification. SF>7 explicit headers carry payload
+    spillover nibbles in the reduced-rate first block, as gr does.
+    Generalizes the gr TX/RX claim beyond the single SF7/BW125 capture
+    (the only real capture the reference ships)."""
     from lora_phy_tpu.models import gr_interop
 
     p = LoraParams(sf=sf)
     payload = b"cell \x00matrix\xff!"
-    for cr in (1, 4):
+    for cr in (1, 2, 3, 4):
         iq = np.asarray(gr_interop.encode_frame(
             payload, p, cr=cr, crc=True, ldro=ldro, implicit=implicit))
         sig = np.concatenate([np.zeros(3 * p.step, np.complex64), iq,

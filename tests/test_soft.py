@@ -130,20 +130,25 @@ def test_gr_soft_decode_real_capture():
     assert frame.crc_ok
 
 
-@pytest.mark.parametrize("ldro,implicit", [(False, False), (True, True)])
-def test_gr_soft_loopback_cells(ldro, implicit):
-    """gr soft decoding round-trips own gr-encoded frames across the
-    ldro/implheader cells and under noise."""
+@pytest.mark.parametrize("sf", [8, 9, 10, 11, 12])
+@pytest.mark.parametrize("ldro,implicit", [(False, False), (False, True),
+                                           (True, False), (True, True)])
+def test_gr_soft_loopback_cells(sf, ldro, implicit):
+    """gr SOFT decoding round-trips own gr-encoded frames under noise
+    across all four ldro x implheader cells, SF8-12 and every CR — the
+    soft-path counterpart of test_e2e's hard-decision cell matrix."""
     from lora_phy_tpu.models import gr_interop
 
-    p = LoraParams(sf=8)
+    p = LoraParams(sf=sf)
     payload = bytes(range(40, 58))
-    iq = np.asarray(gr_interop.encode_frame(
-        payload, p, cr=2, ldro=ldro, implicit=implicit))
-    sig = np.concatenate([np.zeros(700, np.complex64), iq,
-                          np.zeros(700, np.complex64)])
-    noisy = np.asarray(apply_awgn(jax.random.PRNGKey(1), sig, 6.0))
-    kw = dict(length=len(payload), cr=2, crc=True) if implicit else {}
-    frame = gr_interop.decode_frame(noisy, p, ldro=ldro, implicit=implicit,
-                                    soft=True, **kw)
-    assert frame is not None and frame.payload == payload and frame.crc_ok
+    for cr in (1, 2, 3, 4):
+        iq = np.asarray(gr_interop.encode_frame(
+            payload, p, cr=cr, ldro=ldro, implicit=implicit))
+        sig = np.concatenate([np.zeros(700, np.complex64), iq,
+                              np.zeros(700, np.complex64)])
+        noisy = np.asarray(apply_awgn(jax.random.PRNGKey(cr), sig, 6.0))
+        kw = dict(length=len(payload), cr=cr, crc=True) if implicit else {}
+        frame = gr_interop.decode_frame(noisy, p, ldro=ldro,
+                                        implicit=implicit, soft=True, **kw)
+        assert frame is not None, cr
+        assert frame.payload == payload and frame.crc_ok, cr

@@ -628,3 +628,35 @@ def test_robust_mode_composes_with_sic_and_wideband():
     assert int(np.asarray(blk.start)[1, kk]) == 700
     np.testing.assert_array_equal(
         np.asarray(modem.decode(np.asarray(blk.symbols)[1, kk])), pay_a)
+
+
+@pytest.mark.parametrize("sf", range(7, 13))
+@pytest.mark.parametrize("osr", [2, 4])
+def test_reference_fold_osr_block_receive(sf, osr):
+    """continuous_chirp=False (the reference's default one-sample-early
+    fold, ChirpGenerator.hpp:30-48) at osr>1 round-trips through
+    receive_block_planar at ARBITRARY arrival offsets — including the
+    half-bin worst case (arrival = osr/2 mod osr), where the dechirped
+    tones sit exactly between bins and the scan's start is quantized to
+    the osr lattice. Covers: fold-aware decimation phase (scan + demod),
+    the +-1-bin tolerant preamble run at osr>1, and the two-sided
+    sub-osr timing refinement (docs/SEMANTICS.md §TX fold)."""
+    p = LoraParams(sf=sf, osr=osr, continuous_chirp=False)
+    rng = np.random.RandomState(100 * sf + osr)
+    pay = rng.randint(0, 256, 6).astype(np.uint8)
+    syms = modem.encode(pay)
+    fr, fi = stream.frame_modulate_planar(syms, p)
+    fr, fi = np.asarray(fr), np.asarray(fi)
+    L = fr.shape[-1]
+    # one mid-window aligned arrival and the half-bin worst case
+    for off in (p.step // 2 + p.osr, p.step // 3 + osr // 2):
+        re = np.zeros(off + L + 5 * p.step, np.float32)
+        im = np.zeros_like(re)
+        re[off:off + L] = fr
+        im[off:off + L] = fi
+        blk = sync.receive_block_planar(re[None], im[None], p,
+                                        int(syms.shape[-1]), max_frames=1)
+        assert bool(np.asarray(blk.found)[0, 0]), off
+        assert abs(int(np.asarray(blk.start)[0, 0]) - off) <= 1, off
+        dec = np.asarray(modem.decode(np.asarray(blk.symbols)[0, 0]))
+        np.testing.assert_array_equal(dec, pay, err_msg=f"off={off}")
