@@ -192,3 +192,44 @@ def test_sic_sweep_runner_smoke(tmp_path, capfd):
     gap, trials, wp, ws, ss = lines[1].split(",")
     assert (gap, trials) == ("9", "2")
     assert int(ws) >= int(wp) and int(ss) == 2
+
+
+def test_joint_refit_fixes_cfo_bias_and_decisions():
+    """Sequential peeling's CFO-estimate bias (a few 1e-3 bins from the
+    overlapping partner) integrates to ~a radian across the frame and
+    caps cancellation near -10 dB — enough to corrupt a -12 dB weaker
+    collision partner's decisions. The joint refit (refine=True:
+    iterated per-frame CFO re-estimation + joint K x K gain solve +
+    decision refresh from the interference-cancelled views) recovers
+    both frames error-free and pushes the residual below -60 dB."""
+    p = LoraParams(sf=7)
+    rng = np.random.RandomState(11)
+    pay_a = rng.randint(0, 256, 8).astype(np.uint8)
+    pay_b = rng.randint(0, 256, 8).astype(np.uint8)
+
+    def tx(pay, amp, cfo):
+        x = _frame(p, pay, amplitude=amp)
+        return x * np.exp(2j * np.pi * cfo / p.n
+                          * np.arange(x.size)).astype(np.complex64)
+
+    fa = tx(pay_a, 1.0, 0.3)
+    fb = tx(pay_b, 0.25, -0.2)
+    s = _place([(fa, 2 * p.step), (fb, 5 * p.step)],
+               3 * p.step + fa.size + 4 * p.step)
+    re, im = planar.split_complex(s)
+
+    seq, _ = sic.receive_sic_planar(re, im, p, 16, refine=False)
+    dec_b_seq = np.asarray(modem.decode(np.asarray(
+        [f for f in seq if f["start"] == 5 * p.step][0]["symbols"])))
+    assert (dec_b_seq != pay_b).sum() > 0  # the bias this refit exists for
+
+    ref, (rr, ri) = sic.receive_sic_planar(re, im, p, 16, refine=True)
+    assert [f["start"] for f in ref] == [2 * p.step, 5 * p.step]
+    for f, pay in zip(ref, (pay_a, pay_b)):
+        np.testing.assert_array_equal(
+            np.asarray(modem.decode(np.asarray(f["symbols"]))), pay)
+        assert f["cancel_resid_db_joint"] < -60.0
+        assert abs(f["cfo_bins"] + f["cfo"]
+                   - (0.3 if pay is pay_a else -0.2)) < 0.01
+    resid = float(np.sum(np.asarray(rr) ** 2 + np.asarray(ri) ** 2))
+    assert resid < 1e-2 * float(np.sum(np.abs(s) ** 2))
