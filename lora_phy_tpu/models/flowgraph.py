@@ -423,15 +423,16 @@ def safe_eval(expr: str, env: dict | None = None):
         if isinstance(node, ast.UnaryOp) and type(node.op) in _SAFE_UNARY:
             return _SAFE_UNARY[type(node.op)](ev(node.operand))
         if isinstance(node, ast.BoolOp):
-            vals = [ev(v) for v in node.values]
-            if isinstance(node.op, ast.And):
-                out = vals[0]
-                for v in vals[1:]:
-                    out = out and v
-                return out
-            out = vals[0]
-            for v in vals[1:]:
-                out = out or v
+            # lazy, like Python's and/or: a guard such as
+            # ``SF == 0 or 10/SF > 1`` must not evaluate the division
+            is_and = isinstance(node.op, ast.And)
+            out = ev(node.values[0])
+            for v in node.values[1:]:
+                if is_and and not out:
+                    return out
+                if not is_and and out:
+                    return out
+                out = ev(v)
             return out
         if isinstance(node, ast.Compare):
             left = ev(node.left)
@@ -452,6 +453,13 @@ def safe_eval(expr: str, env: dict | None = None):
             if any(k is None for k in node.keys):
                 raise ValueError("dict unpacking not supported")
             return {ev(k): ev(v) for k, v in zip(node.keys, node.values)}
+        if isinstance(node, ast.Attribute):
+            # value access: math.pi / math.e (the old eval() exposed the
+            # math module, so constants were reachable without a call)
+            if (isinstance(node.value, ast.Name) and node.value.id == "math"
+                    and node.attr in _SAFE_MATH):
+                return _SAFE_MATH[node.attr]
+            raise ValueError(f"unsupported attribute {node.attr!r}")
         if isinstance(node, ast.Call):
             if node.keywords:
                 raise ValueError("keyword args not supported")
@@ -463,6 +471,8 @@ def safe_eval(expr: str, env: dict | None = None):
                 fn = _SAFE_MATH[f.attr]
             else:
                 raise ValueError("call not in whitelist")
+            if not callable(fn):
+                raise ValueError(f"{f.attr!r} is not callable")
             return fn(*[ev(a) for a in node.args])
         raise ValueError(f"unsupported expression node {type(node).__name__}")
 

@@ -281,7 +281,6 @@ def refine_sic_planar(xr0, xi0, frames, params: LoraParams,
     for idx, f in enumerate(frames):
         f["gain"] = (float(g[idx].real), float(g[idx].imag))
         st = max(0, min(int(f["start"]), t_len - 1))
-        span = t_len - st
         sl = slice(st, t_len)
         before = float(np.asarray(jnp.sum(yr[sl] ** 2 + yi[sl] ** 2)))
         after = float(np.asarray(jnp.sum(out_r[sl] ** 2 + out_i[sl] ** 2)))

@@ -296,6 +296,14 @@ def _receive_block_local(xr, xi, params: LoraParams, n_payload_symbols: int,
     # start >= 0 (negative-start aliases the left neighbour owns)
     found = blk.found & (blk.start < L)
     g_start = blk.start + t_idx.astype(jnp.int32) * L
+    # the per-shard fits check ran against L + halo, but the last shard's
+    # halo is zero fill PAST the global stream end — re-check the fit
+    # against the true global length or a frame truncated by end-of-stream
+    # is reported found with argmax-over-zeros payload symbols (the
+    # single-device receiver returns found=False for it)
+    overhead = frame_overhead_samples(params, preamble_len)
+    g_end = g_start + overhead + n_payload_symbols * step
+    found = found & (g_end <= t_size * L)
     return (found, g_start, blk.cfo_bins, blk.symbols, blk.sync,
             blk.cfo, blk.time_offset, blk.snr_db, blk.sro_ppm)
 

@@ -156,6 +156,13 @@ def test_safe_eval_rejects_sandbox_escape():
     assert fg.safe_eval("pow(2, SF)", {"SF": 8}) == 256
     assert fg.safe_eval("math.sqrt(2) * pi") == math.sqrt(2) * math.pi
     assert fg.safe_eval("{'a': 1, 'b': SF}", {"SF": 9}) == {"a": 1, "b": 9}
+    # parity with the replaced eval(): math constants are plain attribute
+    # reads, and and/or short-circuit (guards over divisions must not
+    # evaluate the guarded branch)
+    assert fg.safe_eval("2 * math.pi") == 2 * math.pi
+    assert fg.safe_eval("math.e") == math.e
+    assert fg.safe_eval("SF == 0 or 10 / SF > 1", {"SF": 0}) is True
+    assert fg.safe_eval("SF != 0 and 10 / SF > 1", {"SF": 0}) is False
     for evil in (
         "().__class__.__base__.__subclasses__()",
         "(1).__class__",
@@ -163,6 +170,8 @@ def test_safe_eval_rejects_sandbox_escape():
         "(lambda: 1)()",
         "open('/etc/passwd')",
         "__import__('os')",
+        "math.pi(2)",
+        "math.__dict__",
     ):
         with pytest.raises(ValueError):
             fg.safe_eval(evil)

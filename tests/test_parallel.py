@@ -215,6 +215,42 @@ def test_time_sharded_frame_scan_across_seams(devices, layout):
             np.testing.assert_array_equal(dec, pl)
 
 
+def test_time_sharded_frame_scan_rejects_end_truncated_frame(devices):
+    """A frame cut off by the END of the global stream must not be
+    reported found on the mesh.  The last time shard's right halo is zero
+    fill past the global end, so its local fits check (against L + halo)
+    passes for such a frame; the shard body re-checks the fit against the
+    true global length — otherwise the mesh path reports found=True with
+    argmax-over-zeros payload symbols where the single-device
+    ``receive_block_planar`` returns found=False."""
+    from lora_phy_tpu.models import stream as streammod, sync as syncmod
+    from lora_phy_tpu.parallel.stream import receive_stream_block_planar
+
+    p = LoraParams(sf=7)
+    m = meshlib.make_mesh(n_channel=1, n_time=2, devices=devices[:2])
+    n_payload = 8
+    frame_len = streammod.frame_overhead_samples(p) + n_payload * p.step
+    block = 4096
+    total = 2 * block
+    # frame starts in the last shard with only ~70% of it inside the stream
+    off = total - frame_len + frame_len // 3
+    pl = np.arange(n_payload // 2, dtype=np.uint8)
+    iq = np.asarray(streammod.frame_modulate(modem.encode(pl), p))
+    s = np.zeros((1, total), np.complex64)
+    s[0, off:] = iq[: total - off]
+    re, im = planar.split_complex(s)
+
+    ref = syncmod.receive_block_planar(re, im, p, n_payload, max_frames=2)
+    assert not np.asarray(ref.found).any()
+
+    sh = meshlib.stream_sharding(m)
+    blk = receive_stream_block_planar(
+        jax.device_put(re, sh), jax.device_put(im, sh), p, n_payload, m,
+        max_frames=2,
+    )
+    assert not np.asarray(blk.found).any()
+
+
 def test_time_sharded_frame_scan_rejects_short_blocks(devices):
     from lora_phy_tpu.parallel.stream import receive_stream_block_planar
 
