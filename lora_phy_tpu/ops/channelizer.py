@@ -152,18 +152,49 @@ def _combined_bank_planar(k: int, taps_per_branch: int) -> np.ndarray:
     return np.block([[wc, -ws], [ws, wc]]).astype(np.float32)
 
 
+def _group_size(k: int, taps_per_branch: int) -> int:
+    """Frames per matmul row for the grouped form: target a per-plane
+    contraction width ``(G + taps - 1) * K`` of ~256 (two MXU tiles),
+    and keep ``G >= taps - 1`` so the window of a row fits in two
+    consecutive ``G*K`` reshaped rows."""
+    return max(taps_per_branch - 1, 256 // k - taps_per_branch + 1)
+
+
+@functools.lru_cache(maxsize=16)
+def _grouped_bank_planar(k: int, taps_per_branch: int, g: int) -> np.ndarray:
+    """Block-Toeplitz expansion of :func:`_combined_bank_planar` for G
+    frames per matmul row: ``[2R, G*2K]`` with ``R = (G+taps-1)*K``.
+    Output frame ``g`` of a group contracts window positions
+    ``g..g+taps-1`` of the row, i.e. the small bank shifted down by
+    ``g*K`` rows within each plane block."""
+    small = _combined_bank_planar(k, taps_per_branch)     # [2*taps*K, 2K]
+    tk = taps_per_branch * k
+    r = (g + taps_per_branch - 1) * k
+    big = np.zeros((2 * r, g * 2 * k), np.float32)
+    for gi in range(g):
+        for plane in range(2):
+            big[plane * r + gi * k: plane * r + gi * k + tk,
+                gi * 2 * k: (gi + 1) * 2 * k] = \
+                small[plane * tk: (plane + 1) * tk]
+    return big
+
+
 def channelize_planar(xr, xi, k: int, taps_per_branch: int = 7):
     """Planar twin of :func:`channelize` for complex-free TPU backends:
     ``(re, im) [..., T]`` float32 -> ``(re, im) [..., K, T//K]``.
 
     FIR, channel DFT, both planes and both output parts are folded into
-    ONE im2col matmul (``[F, 2*taps*K] @ [2*taps*K, 2K]``) — measured 3x
-    the staged einsum formulation on the v5e chip (0.22 -> 0.65 Gsps at
-    K=8: the tiny-contraction einsum lowers to VPU reductions; a
-    per-plane matmul pair reaches 0.475; widening the output to 2K
-    columns buys the rest of the MXU utilisation). Same windows /
-    prototype / alignment as the complex path (gated by
-    tests/test_channelizer.py). Note TPU f32 matmuls run at MXU
+    ONE matmul over GROUPS of G output frames per row:
+    ``[F/G, 2*(G+taps-1)*K] @ [2*(G+taps-1)*K, G*2K]`` (block-Toeplitz
+    rhs).  vs the per-frame im2col (``[F, 2*taps*K] @ [2*taps*K, 2K]``)
+    this cuts the im2col overlap blow-up from ``taps``x to
+    ``(G+taps-1)/G``x (~1.2x at K=8) and widens the contraction/output
+    from 112x16 (11% MXU tile fill) to 512x416 — measured 0.54 -> 3.0
+    Gsps at the bench shape (K=8, 33.5M samples, v5e).  The per-frame
+    form itself was 3x the staged einsum (tiny contractions lower to VPU
+    reductions).  Same windows / prototype / alignment as the complex
+    path (gated by tests/test_channelizer.py, atol 1e-5: the grouped
+    matmul only reorders the f32 sums).  Note TPU f32 matmuls run at MXU
     (bf16-class) input precision by default — inconsequential below the
     filter's ~50 dB stopband."""
     if taps_per_branch % 2 == 0:
@@ -174,23 +205,28 @@ def channelize_planar(xr, xi, k: int, taps_per_branch: int = 7):
     frames = t // k
     lead = xr.shape[:-1]
     pad_head = ((taps_per_branch - 1) // 2) * k
-    pad_tail = (taps_per_branch - 1) * k - pad_head
 
-    def windows(plane):
-        plane = plane[..., :t]
-        xp = jnp.concatenate(
-            [jnp.zeros(lead + (pad_head,), plane.dtype), plane,
-             jnp.zeros(lead + (pad_tail,), plane.dtype)], axis=-1
-        )
-        cols = [
-            xp[..., i * k: i * k + t].reshape(*lead, frames, k)
-            for i in range(taps_per_branch)
-        ]
-        return jnp.concatenate(cols, axis=-1)             # [..., F, taps*K]
+    g = _group_size(k, taps_per_branch)
+    n_groups = -(-frames // g)
+    f_pad = n_groups * g
+    # padded plane: head alignment zeros + tail zeros covering both the
+    # frame round-up to a multiple of G and the second shifted reshape
+    total = (f_pad + g) * k
 
-    rhs = jnp.asarray(_combined_bank_planar(k, taps_per_branch))
-    lhs = jnp.concatenate([windows(xr), windows(xi)], axis=-1)
+    def group_rows(plane):
+        xp = jnp.zeros(lead + (total,), plane.dtype)
+        xp = jax.lax.dynamic_update_slice_in_dim(
+            xp, plane[..., :t], pad_head, axis=-1)
+        x0 = xp[..., : n_groups * g * k].reshape(*lead, n_groups, g * k)
+        x1 = xp[..., g * k: (n_groups + 1) * g * k].reshape(
+            *lead, n_groups, g * k)
+        return jnp.concatenate(
+            [x0, x1[..., : (taps_per_branch - 1) * k]], axis=-1)
+
+    rhs = jnp.asarray(_grouped_bank_planar(k, taps_per_branch, g))
+    lhs = jnp.concatenate([group_rows(xr), group_rows(xi)], axis=-1)
     out = jnp.matmul(lhs, rhs, preferred_element_type=jnp.float32)
+    out = out.reshape(*lead, f_pad, 2 * k)[..., :frames, :]
     return (out[..., :k].swapaxes(-1, -2),
             out[..., k:].swapaxes(-1, -2))                # [..., K, F] x2
 
