@@ -326,14 +326,73 @@ def main() -> None:
             nonlocal ch
             ch = chan_step(wr_, wi_)
 
+        # 3x iters, same reason as block-rx: the ~30 ms d2h sync barrier
+        # must be amortized or it inflates this ~12 ms program by >50%
+        # (round 3 ran 4 iters and recorded 35.5 ms/iter for it)
         dt_c = _timeit(run_chan, lambda: np.asarray(ch[0][0, :2]),
-                       max(2, iters // 2))
+                       max(2, 3 * iters))
         chan_gsps = Tw / dt_c / 1e9
         log(f"channelizer K={K}: {chan_gsps:.3f} Gsamples/s ({dt_c*1e3:.1f} ms)")
         wr_.delete()
         wi_.delete()
     except Exception as e:
         log(f"channelizer skipped: {e}")
+
+    # --- secondary: wideband receiver end-to-end (the flagship gateway
+    # path: ONE jit = channelize K=8 + per-channel scan + block demod of
+    # every frame; metric over WIDEBAND input samples) --------------------
+    wideband_rx_gsps = None
+    try:
+        from lora_phy_tpu.models import stream as streammod
+        from lora_phy_tpu.ops.channelizer import synthesize_channels_planar
+
+        K = 8
+        pl_len = 16
+        n_pay = pl_len * 2
+        fpc = 512 if platform != "cpu" else 4          # frames per channel
+        gap = 4 * params.step
+        pay_wb = rng.randint(0, 256, (K, pl_len)).astype(np.uint8)
+
+        # setup (untimed): per-channel framed streams -> polyphase
+        # synthesis bank -> one wideband stream at rate K*fs
+        @jax.jit
+        def make_wideband(pl):
+            syms = modem.encode(pl)                    # [K, 2*pl_len]
+            fr, fi = streammod.frame_modulate_planar(syms, params)
+            z = jnp.zeros((K, gap), jnp.float32)
+            cr_ = jnp.tile(jnp.concatenate([fr, z], -1), (1, fpc))
+            ci_ = jnp.tile(jnp.concatenate([fi, z], -1), (1, fpc))
+            return synthesize_channels_planar(cr_, ci_, K, taps_per_branch=15)
+
+        wbr, wbi = make_wideband(jax.device_put(pay_wb, dev))
+        np.asarray(wbr[:2])
+        wb = None
+
+        @jax.jit
+        def wideband_rx(r, i):
+            return syncmod.receive_wideband_planar(
+                r, i, K, params, n_pay, max_frames=fpc,
+                taps_per_branch=15, min_power_db=-30.0)
+
+        def run_wb():
+            nonlocal wb
+            wb = wideband_rx(wbr, wbi)
+
+        dt_w = _timeit(run_wb, lambda: np.asarray(wb.found[0, :2]),
+                       max(2, 3 * iters))
+        foundw = np.asarray(wb.found)                  # [K, fpc]
+        assert foundw.sum() >= K * (fpc - 1), int(foundw.sum())
+        with jax.default_device(cpu):
+            decw = np.asarray(modem.decode(np.asarray(wb.symbols)[:, 0]))
+        assert np.array_equal(decw, pay_wb), "wideband rx decode mismatch"
+        total_w = wbr.shape[-1]
+        wideband_rx_gsps = total_w / dt_w / 1e9
+        log(f"wideband receiver K={K}: {wideband_rx_gsps:.3f} Gsamples/s "
+            f"end-to-end ({int(foundw.sum())} frames, {dt_w*1e3:.1f} ms)")
+        wbr.delete()
+        wbi.delete()
+    except Exception as e:
+        log(f"wideband receiver skipped: {e}")
 
     # --- secondary: AWGN Monte Carlo (planar model, 16-byte packets) ------
     awgn_mpps = None
@@ -368,6 +427,8 @@ def main() -> None:
             checks["block_rx_gsps"] = block_rx_gsps
         if chan_gsps:
             checks["channelizer_gsps"] = chan_gsps
+        if wideband_rx_gsps:
+            checks["wideband_rx_gsps"] = wideband_rx_gsps
         if awgn_mpps:
             checks["awgn_mpps"] = awgn_mpps
         for key, val in checks.items():
@@ -387,6 +448,8 @@ def main() -> None:
         "sf12_gsps": round(sf12_gsps, 3) if sf12_gsps else None,
         "block_rx_gsps": round(block_rx_gsps, 3) if block_rx_gsps else None,
         "channelizer_gsps": round(chan_gsps, 3) if chan_gsps else None,
+        "wideband_rx_gsps": (round(wideband_rx_gsps, 3)
+                             if wideband_rx_gsps else None),
         "awgn_mpps": round(awgn_mpps, 3) if awgn_mpps else None,
         "regressed": regressed,
     }))

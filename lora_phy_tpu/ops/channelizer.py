@@ -156,8 +156,11 @@ def _group_size(k: int, taps_per_branch: int) -> int:
     """Frames per matmul row for the grouped form: target a per-plane
     contraction width ``(G + taps - 1) * K`` of ~256 (two MXU tiles),
     and keep ``G >= taps - 1`` so the window of a row fits in two
-    consecutive ``G*K`` reshaped rows."""
-    return max(taps_per_branch - 1, 256 // k - taps_per_branch + 1)
+    consecutive ``G*K`` reshaped rows. Clamped to >= 1: at
+    ``taps_per_branch=1`` with ``k > 256`` both terms hit 0, which would
+    divide-by-zero the group count downstream (``--taps`` is
+    user-settable via lora-rx-stream)."""
+    return max(1, taps_per_branch - 1, 256 // k - taps_per_branch + 1)
 
 
 @functools.lru_cache(maxsize=16)

@@ -29,6 +29,32 @@ import pytest  # noqa: E402
 
 REFERENCE_DIR = pathlib.Path("/root/reference")
 
+# ``pytest -m quick``: the fast core gate subset (~3 min vs ~30 min for
+# the full suite) — coding truth tables, golden modem cells, planar-twin
+# parity, one seam gate, one SIC gate, one e2e profile round-trip.
+# Curated here (one place) instead of scattering marker decorators.
+_QUICK_MODULES = {"test_coding.py", "test_modem_golden.py"}
+_QUICK_EXCLUDE = {"test_crc16_all_lengths"}          # alone costs ~4 min
+_QUICK_TESTS = {
+    ("test_parallel.py", "test_time_sharded_frame_scan_across_seams"),
+    ("test_sic.py", "test_collision_recovers_weak_frame"),
+    ("test_planar.py", "test_planar_matches_complex"),
+    ("test_e2e.py", "test_reference_profiles"),
+    ("test_sync.py", "test_circular_extraction_matches_barrel_path"),
+    ("test_sync.py", "test_receive_block_multiframe_multichannel"),
+    ("test_channelizer.py", "test_receive_wideband_planar_one_call"),
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = pathlib.Path(item.fspath).name
+        base = item.name.split("[", 1)[0]
+        if base in _QUICK_EXCLUDE:
+            continue
+        if fname in _QUICK_MODULES or (fname, base) in _QUICK_TESTS:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture(scope="session")
 def reference_dir():

@@ -141,6 +141,24 @@ def test_planar_channelizer_matches_complex():
     assert np.allclose(got_w, ref_w, atol=1e-5)
 
 
+def test_planar_channelizer_degenerate_group_size():
+    """taps_per_branch=1 with k > 256 drives both _group_size terms to 0;
+    the clamp must keep the grouped matmul well-formed (user-settable via
+    lora-rx-stream --taps)."""
+    from lora_phy_tpu.ops.channelizer import channelize_planar
+
+    rng = np.random.RandomState(3)
+    k, T = 512, 2048
+    x = (rng.randn(T) + 1j * rng.randn(T)).astype(np.complex64)
+    ref = np.asarray(channelize(x, k, taps_per_branch=1))
+    pr, pi = channelize_planar(x.real.astype(np.float32),
+                               x.imag.astype(np.float32), k,
+                               taps_per_branch=1)
+    got = np.asarray(pr) + 1j * np.asarray(pi)
+    assert got.shape == ref.shape == (k, T // k)
+    assert np.allclose(got, ref, atol=1e-5)
+
+
 def test_planar_wideband_lora_receive():
     """Full complex-free wideband chain: framed LoRa TX on two channels ->
     planar synthesis bank -> planar analysis bank -> planar block
