@@ -192,8 +192,10 @@ def channelize_planar(xr, xi, k: int, taps_per_branch: int = 7):
     rhs).  vs the per-frame im2col (``[F, 2*taps*K] @ [2*taps*K, 2K]``)
     this cuts the im2col overlap blow-up from ``taps``x to
     ``(G+taps-1)/G``x (~1.2x at K=8) and widens the contraction/output
-    from 112x16 (11% MXU tile fill) to 512x416 — measured 0.54 -> 3.0
-    Gsps at the bench shape (K=8, 33.5M samples, v5e).  The per-frame
+    from 112x16 (11% MXU tile fill) to 512x416 — measured 0.54 -> 1.10
+    Gsps at the bench shape (K=8, 33.5M samples, v5e; 24-iter amortized
+    capture, round 4 — an earlier 3.0 figure was a sync-barrier
+    mismeasure and is withdrawn).  The per-frame
     form itself was 3x the staged einsum (tiny contractions lower to VPU
     reductions).  Same windows / prototype / alignment as the complex
     path (gated by tests/test_channelizer.py, atol 1e-5: the grouped
