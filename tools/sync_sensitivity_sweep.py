@@ -1,4 +1,4 @@
-"""Regenerate logs/sync_sensitivity_r2.csv: streaming-receiver sync +
+"""Regenerate logs/sync_sensitivity_r4.csv: streaming-receiver sync +
 decode rate vs SNR (the full path: scan through block demod — the
 reference's AWGN tests assume frame-aligned buffers and never exercise
 sync).
@@ -31,7 +31,7 @@ from lora_phy_tpu.utils.params import LoraParams  # noqa: E402
 def main(argv=None) -> int:
     args = sys.argv[1:] if argv is None else argv
     trials = 40
-    out = "logs/sync_sensitivity_r2.csv"
+    out = "logs/sync_sensitivity_r4.csv"
     pre_acc = 1
     for a in args:
         if a.startswith("--trials="):
