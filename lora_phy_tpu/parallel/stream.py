@@ -39,6 +39,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
@@ -54,7 +55,7 @@ _TWO_PI = 2.0 * jnp.pi
 
 
 def _stream_demod_core(x, params: LoraParams, time_axis: str,
-                       absmax, estimate, finish):
+                       absmax, estimate, finish, comm: bool = True):
     """Shared per-shard body of the time-sharded streaming demod (runs
     under shard_map). ``x``: [..., L] — one complex stream, or stacked
     (re, im) float32 planes with the plane axis riding the batch dims
@@ -65,6 +66,12 @@ def _stream_demod_core(x, params: LoraParams, time_axis: str,
     * ``estimate(head) -> (cfo, to)`` on the first 2 symbol periods,
     * ``finish(sym, rate) -> symbol indices`` (derotate + window + DFT +
       argmax on the [..., S, N] windows).
+
+    ``comm=False`` is a MEASUREMENT-ONLY knob (runners/bench_scaling.py's
+    collective-vs-compute split): every cross-shard collective (pmax,
+    2x ppermute halo, 2x psum broadcast) is replaced by its local stub so
+    the identical per-shard compute runs with zero communication. Results
+    are wrong at shard seams — never use it for decoding.
     """
     n, osr, step = params.n, params.osr, params.step
     halo = step
@@ -75,30 +82,39 @@ def _stream_demod_core(x, params: LoraParams, time_axis: str,
     t_size = jax.lax.axis_size(time_axis)
 
     # --- global per-channel amplitude normalisation (LoRaDemod.cpp:59-77) -
-    max_amp = jax.lax.pmax(absmax(x), time_axis)
+    max_amp = absmax(x)
+    if comm:
+        max_amp = jax.lax.pmax(max_amp, time_axis)
     scale = jnp.where(max_amp > 1.0, 1.0 / max_amp, 1.0).astype(jnp.float32)
     x = x * scale[..., None]
 
     # --- overlap-save halo exchange (ring; edge devices get zeros masked).
     # Planar planes ride each collective stacked, halving the ppermute
     # count; the complex path sends one array the same way.
-    right_halo = jax.lax.ppermute(
-        x[..., :halo], time_axis,                 # my head -> left neighbour
-        [(i, (i - 1) % t_size) for i in range(t_size)],
-    )
-    left_halo = jax.lax.ppermute(
-        x[..., -halo:], time_axis,                # my tail -> right neighbour
-        [(i, (i + 1) % t_size) for i in range(t_size)],
-    )
-    left_halo = jnp.where(t_idx == 0, 0.0, left_halo)
-    right_halo = jnp.where(t_idx == t_size - 1, 0.0, right_halo)
+    if comm:
+        right_halo = jax.lax.ppermute(
+            x[..., :halo], time_axis,             # my head -> left neighbour
+            [(i, (i - 1) % t_size) for i in range(t_size)],
+        )
+        left_halo = jax.lax.ppermute(
+            x[..., -halo:], time_axis,            # my tail -> right neighbour
+            [(i, (i + 1) % t_size) for i in range(t_size)],
+        )
+        left_halo = jnp.where(t_idx == 0, 0.0, left_halo)
+        right_halo = jnp.where(t_idx == t_size - 1, 0.0, right_halo)
+    else:
+        left_halo = jnp.zeros_like(x[..., :halo])
+        right_halo = jnp.zeros_like(x[..., :halo])
     ext = jnp.concatenate([left_halo, x, right_halo], axis=-1)
 
     # --- frame-head CFO/TO estimate, broadcast from time-shard 0 ----------
     cfo_l, to_l = estimate(x[..., : 2 * step])
-    sel = (t_idx == 0).astype(cfo_l.dtype)
-    cfo = jax.lax.psum(cfo_l * sel, time_axis)
-    time_offset = jax.lax.psum(to_l * sel, time_axis)
+    if comm:
+        sel = (t_idx == 0).astype(cfo_l.dtype)
+        cfo = jax.lax.psum(cfo_l * sel, time_axis)
+        time_offset = jax.lax.psum(to_l * sel, time_axis)
+    else:
+        cfo, time_offset = cfo_l, to_l
 
     t_off = _round_half_away(time_offset).astype(jnp.int32)
     rate = (-jnp.float32(_TWO_PI) * cfo / jnp.float32(n)).astype(jnp.float32)
@@ -172,7 +188,8 @@ def _stream_demod_local(x_local, params: LoraParams, backend: str,
                               absmax, estimate, finish)
 
 
-def _stream_demod_local_planar(xr, xi, params: LoraParams, time_axis: str):
+def _stream_demod_local_planar(xr, xi, params: LoraParams, time_axis: str,
+                               comm: bool = True):
     """Planar (re, im float32) per-shard body — the same core on split
     planes stacked along a leading axis, so the time-sharded receiver
     compiles on complex-free TPU PJRTs (the deployment reality,
@@ -205,20 +222,30 @@ def _stream_demod_local_planar(xr, xi, params: LoraParams, time_axis: str):
     # collective in one ppermute
     planes = jnp.stack([xr, xi], axis=0)
     return _stream_demod_core(planes, params, time_axis,
-                              absmax, estimate, finish)
+                              absmax, estimate, finish, comm=comm)
 
 
-@partial(jax.jit, static_argnames=("params", "mesh"))
-def demodulate_stream_planar(xr, xi, params: LoraParams, mesh: Mesh):
+@partial(jax.jit, static_argnames=("params", "mesh", "comm"))
+def demodulate_stream_planar(xr, xi, params: LoraParams, mesh: Mesh,
+                             comm: bool = True):
     """Planar twin of :func:`demodulate_stream`: a dechirped continuous
     stream as (re, im) float32 planes sharded over ``(channel, time)``.
-    Bit-identical symbols to the complex path (tests/test_parallel.py)."""
+    Bit-identical symbols to the complex path (tests/test_parallel.py).
+
+    ``comm=False`` stubs every cross-shard collective for the scaling
+    harness's collective-vs-compute split (measurement only — wrong at
+    shard seams; see :func:`_stream_demod_core`)."""
     fn = shard_map(
         partial(_stream_demod_local_planar, params=params,
-                time_axis=TIME_AXIS),
+                time_axis=TIME_AXIS, comm=comm),
         mesh=mesh,
         in_specs=(P(CHANNEL_AXIS, TIME_AXIS), P(CHANNEL_AXIS, TIME_AXIS)),
         out_specs=(P(CHANNEL_AXIS, TIME_AXIS), P(CHANNEL_AXIS), P(CHANNEL_AXIS)),
+        # comm=False outputs skip the psum broadcast, so cfo/time_offset
+        # are formally time-varying — the replication check must be off
+        # for the measurement stub (values at non-zero time shards are
+        # discarded anyway)
+        check_vma=comm,
     )
     syms, cfo, time_offset = fn(xr, xi)
     sync = _sync_from_symbols(
@@ -308,6 +335,15 @@ def _receive_block_local(xr, xi, params: LoraParams, n_payload_symbols: int,
             blk.cfo, blk.time_offset, blk.snr_db, blk.sro_ppm)
 
 
+def _halo_steps(params: LoraParams, n_payload_symbols: int,
+                preamble_len: int) -> int:
+    """Right-halo length (in symbol steps) the sharded scan needs: one
+    full frame plus the block receiver's probe margin."""
+    win_full = (frame_overhead_samples(params, preamble_len)
+                + n_payload_symbols * params.step)
+    return -(-win_full // params.step) + 4
+
+
 @partial(jax.jit, static_argnames=("params", "n_payload_symbols", "mesh",
                                    "max_frames", "preamble_len",
                                    "min_power_db", "pre_acc"))
@@ -371,3 +407,126 @@ def receive_stream_block_planar(xr, xi, params: LoraParams,
         ),
     )
     return BlockFrames(*fn(xr, xi))
+
+
+def receive_blind_stream_planar(xr, xi, base_params: LoraParams,
+                                n_payload_symbols: int, mesh: Mesh,
+                                sfs=(7, 8, 9, 10, 11, 12),
+                                max_frames: int = 4,
+                                preamble_len: int = 8,
+                                min_power_db: float | None = -30.0,
+                                pre_acc: int = 1):
+    """Mesh twin of :func:`~..models.sync.receive_blind_planar`: the
+    blind spreading-factor fan-out with each per-SF scan running as the
+    time/channel-sharded :func:`receive_stream_block_planar` program.
+    Returns ``{sf: BlockFrames}`` with GLOBAL ``start`` positions
+    (feed to ``models.sync.blind_frames`` unchanged).
+
+    SF discrimination is the scan's own (wrong-SF dechirp spreads energy
+    across the spectrum — see the single-device docstring); the mesh adds
+    nothing to the math, only the frame-length right-halo exchange per
+    SF. SFs whose preamble cannot fit the stream, or whose frame+margin
+    halo exceeds one time-shard block, are omitted (the same fit rule as
+    single-device, plus the §5.7a halo constraint).
+    """
+    import dataclasses
+
+    t_size = mesh.shape[TIME_AXIS]
+    block = xr.shape[-1] // t_size
+    out = {}
+    for sf in sfs:
+        p = dataclasses.replace(base_params, sf=sf)
+        if xr.shape[-1] // p.step < preamble_len + 4:
+            continue
+        if _halo_steps(p, n_payload_symbols, preamble_len) * p.step > block:
+            continue                    # frame + margin exceeds one shard
+        if block % p.step:
+            continue                    # shard seam must land on a symbol
+        out[sf] = receive_stream_block_planar(
+            xr, xi, p, n_payload_symbols, mesh, max_frames, preamble_len,
+            min_power_db, pre_acc=pre_acc,
+        )
+    return out
+
+
+def receive_adaptive_stream_planar(xr, xi, params: LoraParams, mesh: Mesh,
+                                   max_frames: int = 4,
+                                   preamble_len: int = 8,
+                                   min_power_db: float | None = None,
+                                   ldro: bool = False):
+    """Mesh-sharded receive of SELF-DESCRIBING frames (explicit headers,
+    the gateway contract of ``models.stream.AdaptiveStreamDemodulator``):
+    two sharded scan/demod passes bracket a host-side header loop.
+
+    Pass 1 runs the time/channel-sharded scan demodulating only the
+    8-symbol explicit header at every sync point; the host decodes each
+    header (length/CR/CRC, ``models.coded.decode_header``) — the one
+    data-dependent step, exactly where the single-device receiver also
+    leaves jit. Pass 2 re-runs the sharded receiver at the LONGEST
+    decoded frame length and the host trims each frame to its own
+    header's symbol count, so frames of different lengths ride one mesh
+    program (static shapes; XLA sees two compiled scans total).
+
+    Returns a list of dicts ``{channel, start, payload: bytes|None,
+    info}`` sorted by (channel, start) — ``payload`` is None when the
+    header was bad or the CRC failed (``info`` says which). Hard
+    decisions only (the soft path needs per-frame spectra, which the
+    block receiver deliberately does not materialise mesh-wide).
+
+    Streaming semantics: a frame whose WORST-CASE extent (pass-2 length)
+    overruns the stream tail is deferred — the caller's next block will
+    re-see it, matching the single-device adaptive receiver's carry-tail
+    behaviour.
+    """
+    from ..models import coded
+
+    blk = receive_stream_block_planar(
+        xr, xi, params, 8, mesh, max_frames, preamble_len, min_power_db)
+    found = np.asarray(blk.found)
+    starts = np.asarray(blk.start)
+    hdr_syms = np.asarray(blk.symbols)
+
+    headers = {}                        # (channel, global_start) -> header
+    nsyms = []
+    for c, k in zip(*np.nonzero(found)):
+        nbytes, cr, crc_en, hdr_ok = coded.decode_header(
+            hdr_syms[c, k, :8], params.sf)
+        info = {"found": True, "start": int(starts[c, k]),
+                "cfo_bins": int(np.asarray(blk.cfo_bins)[c, k]),
+                "length": int(nbytes), "cr": int(cr), "crc": bool(crc_en),
+                "header_ok": bool(hdr_ok)}
+        key = (int(c), int(starts[c, k]))
+        if not hdr_ok or not (1 <= cr <= 4) or nbytes == 0:
+            headers[key] = (None, info)
+            continue
+        cfg = coded.CodedConfig(sf=params.sf, cr=int(cr), crc=bool(crc_en),
+                                ldro=ldro)
+        nsym = coded.payload_symbol_count(int(nbytes), cfg)
+        headers[key] = (cfg, info)
+        nsyms.append(nsym)
+    results = [{"channel": c, "start": s, "payload": None, "info": info}
+               for (c, s), (cfg, info) in headers.items() if cfg is None]
+    if nsyms:
+        n_max = 8 + max(nsyms)
+        blk2 = receive_stream_block_planar(
+            xr, xi, params, n_max, mesh, max_frames, preamble_len,
+            min_power_db)
+        f2 = np.asarray(blk2.found)
+        s2 = np.asarray(blk2.start)
+        sym2 = np.asarray(blk2.symbols)
+        for c, k in zip(*np.nonzero(f2)):
+            key = (int(c), int(s2[c, k]))
+            if key not in headers or headers[key][0] is None:
+                continue
+            cfg, info = headers[key]
+            nsym = coded.payload_symbol_count(info["length"], cfg)
+            payload, crc_ok, fec_err = coded.decode_payload(
+                sym2[c, k, 8:8 + nsym], info["length"], cfg)
+            info = {**info, "crc_ok": bool(np.all(np.asarray(crc_ok))),
+                    "fec_errors": int(np.asarray(fec_err))}
+            results.append({
+                "channel": key[0], "start": key[1],
+                "payload": np.asarray(payload).tobytes(), "info": info,
+            })
+    results.sort(key=lambda r: (r["channel"], r["start"]))
+    return results

@@ -261,6 +261,87 @@ def test_time_sharded_frame_scan_rejects_short_blocks(devices):
         receive_stream_block_planar(re, re, p, 8, m)
 
 
+def test_blind_sf_receive_on_mesh(devices):
+    """Blind-SF fan-out on the mesh: frames of DIFFERENT spreading
+    factors — one straddling a time-shard seam — are found at exactly
+    their true SF, with rows identical to the single-device
+    ``receive_blind_planar``."""
+    from lora_phy_tpu.models import stream as streammod, sync as syncmod
+    from lora_phy_tpu.parallel.stream import receive_blind_stream_planar
+
+    p7, p9 = LoraParams(sf=7), LoraParams(sf=9)
+    m = meshlib.make_mesh(n_channel=2, n_time=2, devices=devices[:4])
+    n_pay = 8
+    block = 16384                       # divisible by every step 128..512
+    total = 2 * block
+    rng = np.random.RandomState(3)
+    s = np.zeros((2, total), np.complex64)
+
+    pl7 = rng.randint(0, 256, n_pay // 2).astype(np.uint8)
+    iq7 = np.asarray(streammod.frame_modulate(modem.encode(pl7), p7))
+    s[0, 700: 700 + iq7.size] = iq7
+    pl9 = rng.randint(0, 256, n_pay // 2).astype(np.uint8)
+    iq9 = np.asarray(streammod.frame_modulate(modem.encode(pl9), p9))
+    off9 = block - iq9.size // 2        # straddles the seam
+    s[1, off9: off9 + iq9.size] = iq9
+    re, im = planar.split_complex(s)
+
+    sh = meshlib.stream_sharding(m)
+    res = receive_blind_stream_planar(
+        jax.device_put(re, sh), jax.device_put(im, sh), p7, n_pay, m,
+        sfs=(7, 8, 9), max_frames=2)
+    rows = syncmod.blind_frames(res)
+    assert [(r["sf"], r["index"], r["start"]) for r in rows] == [
+        (7, (0,), 700), (9, (1,), off9)]
+    np.testing.assert_array_equal(
+        np.asarray(modem.decode(rows[0]["symbols"])), pl7)
+    np.testing.assert_array_equal(
+        np.asarray(modem.decode(rows[1]["symbols"])), pl9)
+
+    ref_rows = syncmod.blind_frames(syncmod.receive_blind_planar(
+        re, im, p7, n_pay, sfs=(7, 8, 9), max_frames=2))
+    assert [(r["sf"], r["index"], r["start"], r["sync"]) for r in rows] == \
+        [(r["sf"], r["index"], r["start"], r["sync"]) for r in ref_rows]
+
+
+def test_adaptive_receive_on_mesh(devices):
+    """Header-driven adaptive receive on the mesh: self-describing frames
+    of DIFFERENT payload lengths (one straddling the time-shard seam) are
+    scanned sharded, header-decoded on the host, and payload-decoded in a
+    single second sharded pass at the longest decoded length."""
+    from lora_phy_tpu.models import stream as streammod
+    from lora_phy_tpu.models.coded import CodedConfig
+    from lora_phy_tpu.parallel.stream import receive_adaptive_stream_planar
+
+    p = LoraParams(sf=7)
+    m = meshlib.make_mesh(n_channel=2, n_time=2, devices=devices[:4])
+    block = 16384
+    total = 2 * block
+    payloads = [[b"short", b"a much longer frame payload!!"],
+                [b"mesh adaptive", b"x"]]
+    offs = [[300, block - 700], [900, block + 2000]]
+    s = np.zeros((2, total), np.complex64)
+    expect = []
+    for c in range(2):
+        for b, off in zip(payloads[c], offs[c]):
+            cfg = CodedConfig(sf=7, cr=2)
+            iq = np.asarray(streammod.frame_encode(
+                np.frombuffer(b, np.uint8), cfg, p))
+            assert off + iq.size <= total
+            assert not s[c, off: off + iq.size].any(), "frames overlap"
+            s[c, off: off + iq.size] = iq
+            expect.append((c, off, b))
+    re, im = planar.split_complex(s)
+
+    sh = meshlib.stream_sharding(m)
+    res = receive_adaptive_stream_planar(
+        jax.device_put(re, sh), jax.device_put(im, sh), p, m, max_frames=2)
+    got = [(r["channel"], r["start"], r["payload"]) for r in res]
+    assert got == sorted(expect)
+    for r in res:
+        assert r["info"]["header_ok"] and r["info"]["crc_ok"]
+
+
 def test_amplitude_normalisation_collective(devices):
     """Global per-channel pmax normalisation matches single-device."""
     p = LoraParams(sf=7)
@@ -292,10 +373,14 @@ def test_scaling_harness_smoke(devices, capsys):
     import json
     from lora_phy_tpu.runners import bench_scaling
 
-    assert bench_scaling.main(["--devices=1,2", "--frames=4"]) == 0
-    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert bench_scaling.main(["--devices=1,2", "--frames=4",
+                               "--iters=2"]) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["mode"] == "weak" and doc["host_cores"] >= 1
+    rows = doc["rows"]
     assert [r["devices"] for r in rows] == [1, 2]
     assert all(r["samples_per_s"] > 0 for r in rows)
+    assert all("collective_ms" in r and "t_nocomm_ms" in r for r in rows)
     assert rows[0]["efficiency"] == 1.0
 
 
