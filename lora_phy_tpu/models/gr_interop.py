@@ -162,8 +162,33 @@ def decode_frame(samples, params: LoraParams, preamble_len: int = 8,
     out = dm[0]
     if out is None:
         return None
-    bins = np.asarray(out.symbols).astype(np.int64)
-    mag2 = np.asarray(dm[2]) if soft else None
+    return decode_bins(np.asarray(out.symbols), sf,
+                       ldro=ldro, implicit=implicit, length=length, cr=cr,
+                       crc=crc, soft=soft,
+                       mag2=np.asarray(dm[2]) if soft else None,
+                       start=res.start, cfo_bins=res.cfo_bins)
+
+
+def decode_bins(bins, sf: int, ldro: bool = False, implicit: bool = False,
+                length: int | None = None, cr: int | None = None,
+                crc: bool | None = None, soft: bool = False, mag2=None,
+                start: int = 0, cfo_bins: int = 0):
+    """Decode one gr-lora_sdr frame from already-demodulated symbol bins
+    (header first): the coding half of :func:`decode_frame`, split out so
+    ANY demodulator that yields raw bins — the serial
+    ``stream.frame_demodulate`` path above, or the device-side batched /
+    mesh-sharded block and wideband receivers (``models.sync.
+    receive_block_planar`` / ``receive_wideband_planar`` with
+    ``tx_phase_step=0.0``, whose BlockFrames.symbols rows feed here
+    directly) — shares one gr coding pipeline. ``soft=True`` needs the
+    matching ``mag2`` spectra. Returns ``GrFrame`` or ``None`` when the
+    bins run out before the header-declared payload ends."""
+    n = 1 << sf
+    if implicit and (length is None or cr is None or crc is None):
+        raise ValueError("implicit header needs length, cr and crc")
+    bins = np.asarray(bins).astype(np.int64)
+    if mag2 is not None:
+        mag2 = np.asarray(mag2)
 
     # --- first block: 8 symbols, reduced rate (PPM = sf-2), CR 4/8 -------
     if soft:
@@ -197,7 +222,7 @@ def decode_frame(samples, params: LoraParams, preamble_len: int = 8,
         first_payload_nib = nib0[5:]
         if cr < 1 or cr > 4 or length == 0:
             return GrFrame(b"", length, cr, has_crc, b"", False, header_ok, 0,
-                           res.start, res.cfo_bins)
+                           start, cfo_bins)
 
     in_first, ppm_rest, n_rest, total_nibbles = payload_block_plan(
         sf, cr, length, has_crc, ldro, implicit
@@ -241,7 +266,7 @@ def decode_frame(samples, params: LoraParams, preamble_len: int = 8,
         and (crc_bytes[0] | (crc_bytes[1] << 8)) == crc16_gr_lora(payload)
     )
     return GrFrame(payload, length, cr, has_crc, crc_bytes, crc_ok,
-                   header_ok, fec_errors, res.start, res.cfo_bins)
+                   header_ok, fec_errors, start, cfo_bins)
 
 
 def encode_frame(payload: bytes, params: LoraParams, cr: int = 1,

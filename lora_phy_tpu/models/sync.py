@@ -335,7 +335,8 @@ def _circ_wrap_const(params: LoraParams):
 
 def _receive_block_circular(xr, xi, params: LoraParams,
                             n_payload_symbols: int, max_frames: int,
-                            preamble_len: int, start, cfo_bins, found):
+                            preamble_len: int, start, cfo_bins, found,
+                            tx_phase_step: float | None = None):
     """Shift-free window extraction + demod (osr=1, rectangular window).
 
     The barrel shifter costs log2(step) full passes over the per-frame
@@ -482,7 +483,8 @@ def _receive_block_circular(xr, xi, params: LoraParams,
     # residual fractional CFO from the rotated preamble spectra: the
     # expected tone sits at (cfo_bins - q) mod n, and the estimator
     # re-centers its signed wrap there and reports relative to it
-    _pps = _preamble_phase_step(params.sf, params.osr, params.scale)
+    _pps = (tx_phase_step if tx_phase_step is not None
+            else _preamble_phase_step(params.sf, params.osr, params.scale))
     b0 = jnp.mod(cfo_bins - q, n)
     cfo_resid = estimate_preamble_planar(
         ps_r[..., :preamble_len, :].reshape(*lead, max_frames, pre_len),
@@ -542,12 +544,14 @@ def _receive_block_circular(xr, xi, params: LoraParams,
 
 @partial(jax.jit, static_argnames=("params", "n_payload_symbols",
                                    "max_frames", "preamble_len",
-                                   "min_power_db", "pre_acc"))
+                                   "min_power_db", "pre_acc",
+                                   "tx_phase_step"))
 def receive_block_planar(xr, xi, params: LoraParams,
                          n_payload_symbols: int, max_frames: int = 4,
                          preamble_len: int = 8,
                          min_power_db: float | None = None,
-                         pre_acc: int = 1) -> BlockFrames:
+                         pre_acc: int = 1,
+                         tx_phase_step: float | None = None) -> BlockFrames:
     """Demodulate every frame in a continuous block, fully on-device.
 
     One jit over ``[..., channels, T]`` planes: the two-sided dechirp
@@ -559,6 +563,12 @@ def receive_block_planar(xr, xi, params: LoraParams,
     across the sync/payload sections (same contract as the serial
     ``stream.frame_demodulate``), external dechirp, and the working demod
     path. Host code only reads the resulting ``BlockFrames``.
+
+    ``tx_phase_step`` overrides the transmitter's deterministic
+    inter-symbol preamble phase delta assumed by the fine-CFO estimator
+    (default: our lattice modulator's, via ``_preamble_phase_step``).
+    Pass ``0.0`` for gr-lora_sdr transmitters — same contract as
+    ``stream.frame_demodulate``.
     """
     from ..ops.planar import demodulate_planar, dechirp_planar
     from .stream import frame_overhead_samples
@@ -587,7 +597,8 @@ def receive_block_planar(xr, xi, params: LoraParams,
         # (measured 16.7 -> see README block-rx row; docs/SEMANTICS.md)
         return _receive_block_circular(xr, xi, params, n_payload_symbols,
                                        max_frames, preamble_len,
-                                       start, cfo_bins, found)
+                                       start, cfo_bins, found,
+                                       tx_phase_step=tx_phase_step)
 
     # --- window extraction: row gather + barrel shift -------------------
     # Per-frame ``dynamic_slice`` costs ~5 us EACH on this chip
@@ -788,7 +799,8 @@ def receive_block_planar(xr, xi, params: LoraParams,
                               demodulate_spectrum_planar,
                               estimate_preamble_planar)
 
-    _pps = _preamble_phase_step(params.sf, params.osr, params.scale)
+    _pps = (tx_phase_step if tx_phase_step is not None
+            else _preamble_phase_step(params.sf, params.osr, params.scale))
     if pre_acc == 1:
         cfo_resid = estimate_preamble_planar(
             yr[..., :pre_len], yi[..., :pre_len], n, osr, phase_step=_pps)
@@ -1000,7 +1012,8 @@ def receive_wideband_planar(xr, xi, k: int, params: LoraParams,
                             preamble_len: int = 8,
                             taps_per_branch: int = 7,
                             min_power_db: float | None = -30.0,
-                            pre_acc: int = 1) -> BlockFrames:
+                            pre_acc: int = 1,
+                            tx_phase_step: float | None = None) -> BlockFrames:
     """One-call wideband receiver, fully on-device: polyphase-channelize a
     ``[..., T]`` wideband stream into ``k`` sub-channels and run the
     batched block receiver on every channel in the same program.
@@ -1013,4 +1026,5 @@ def receive_wideband_planar(xr, xi, k: int, params: LoraParams,
     cr, ci = channelize_planar(xr, xi, k, taps_per_branch)
     return receive_block_planar(cr, ci, params, n_payload_symbols,
                                 max_frames, preamble_len,
-                                min_power_db=min_power_db, pre_acc=pre_acc)
+                                min_power_db=min_power_db, pre_acc=pre_acc,
+                                tx_phase_step=tx_phase_step)

@@ -303,6 +303,40 @@ def test_gr_capture_all_frames(reference_dir):
         assert payload == f"hello world: {i}".encode()
 
 
+def test_gr_capture_batched_device_receiver(reference_dir):
+    """The whole OTA capture through the DEVICE-SIDE batched block
+    receiver in one call (vs the serial host loop above): every frame
+    found by the scan, bins decoded by the shared gr coding pipeline
+    (``gr_interop.decode_bins``), all CRC-verified. gr TX is a true
+    continuous oversampled chirp, so the receiver dechirps with the
+    unfolded lattice (``continuous_chirp=True``) and the estimator gets
+    ``tx_phase_step=0.0`` — with the folded default, half the capture's
+    bins land +1 across the rounding boundary."""
+    from lora_phy_tpu.models import gr_interop, sync
+    from lora_phy_tpu.ops import planar
+    from lora_phy_tpu.utils.iqio import read_iq
+
+    path = (reference_dir / "vectors_binary" /
+            "bw_125k_sf_7_cr_1_ldro_false_crc_true_implheader_false.unknown")
+    if not path.exists():
+        pytest.skip("capture missing")
+    cap = read_iq(path)
+    p = LoraParams(sf=7, osr=2, continuous_chirp=True)
+    _, _, n_rest, _ = gr_interop.payload_block_plan(7, 1, 14, True,
+                                                    False, False)
+    re, im = planar.split_complex(cap)
+    blk = sync.receive_block_planar(re, im, p, 8 + n_rest * 5,
+                                    max_frames=16, min_power_db=-30.0,
+                                    tx_phase_step=0.0)
+    ks = np.flatnonzero(np.asarray(blk.found))
+    assert ks.size >= 12
+    for i, k in enumerate(ks):
+        fr = gr_interop.decode_bins(np.asarray(blk.symbols)[k], 7)
+        assert fr is not None and fr.header_ok and fr.crc_ok
+        assert fr.fec_errors == 0
+        assert fr.payload == b"hello world: %d" % i
+
+
 @pytest.mark.parametrize("sf", [7, 8, 9, 10, 11, 12])
 @pytest.mark.parametrize("ldro", [False, True])
 @pytest.mark.parametrize("implicit", [False, True])
