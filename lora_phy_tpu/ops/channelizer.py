@@ -153,14 +153,20 @@ def _combined_bank_planar(k: int, taps_per_branch: int) -> np.ndarray:
 
 
 def _group_size(k: int, taps_per_branch: int) -> int:
-    """Frames per matmul row for the grouped form: target a per-plane
-    contraction width ``(G + taps - 1) * K`` of ~256 (two MXU tiles),
-    and keep ``G >= taps - 1`` so the window of a row fits in two
-    consecutive ``G*K`` reshaped rows. Clamped to >= 1: at
-    ``taps_per_branch=1`` with ``k > 256`` both terms hit 0, which would
-    divide-by-zero the group count downstream (``--taps`` is
-    user-settable via lora-rx-stream)."""
-    return max(1, taps_per_branch - 1, 256 // k - taps_per_branch + 1)
+    """Frames per matmul row for the grouped form: target ``G*K ~ 1024``
+    (so the corner-turn's contiguous runs are >= 512 B — the [F, 2K] ->
+    [2K, F] transpose with an 8-float minor was the whole pipeline's
+    bottleneck at 26 of 31 ms, tools/probe_channelizer.py round 4), and
+    keep ``G >= taps - 1`` so the window of a row fits in two
+    consecutive ``G*K`` reshaped rows. The block-Toeplitz bank is dense
+    zeros-padded, so FLOPs inflate ~(G+taps-1)/taps x — at K=8/taps=7
+    that is ~19x of the useful MACs and STILL 3.1x faster end-to-end
+    than the transpose-bound G=26 form (10.1 vs 31.5 ms at 33.5M
+    samples, chip-measured). Clamped to >= 1: at ``taps_per_branch=1``
+    with ``k > 1024`` both terms hit 0, which would divide-by-zero the
+    group count downstream (``--taps`` is user-settable via
+    lora-rx-stream)."""
+    return max(1, taps_per_branch - 1, 1024 // k - taps_per_branch + 1)
 
 
 @functools.lru_cache(maxsize=16)
@@ -182,20 +188,39 @@ def _grouped_bank_planar(k: int, taps_per_branch: int, g: int) -> np.ndarray:
     return big
 
 
+@functools.lru_cache(maxsize=16)
+def _grouped_bank_split(k: int, taps_per_branch: int, g: int):
+    """Per-plane halves of :func:`_grouped_bank_planar` with the output
+    columns PERMUTED channel-major — ``(plane*K + c, g)`` instead of
+    ``(g, plane*K + c)`` — so the matmul result reshapes to
+    ``[.., n_groups, 2K, G]`` and the channel corner-turn moves
+    contiguous G-float rows instead of single floats (the transpose fix
+    measured in tools/probe_channelizer2.py)."""
+    big = _grouped_bank_planar(k, taps_per_branch, g)
+    r = (g + taps_per_branch - 1) * k
+    perm = np.arange(g * 2 * k).reshape(g, 2 * k).T.reshape(-1)
+    return (np.ascontiguousarray(big[:r][:, perm]),
+            np.ascontiguousarray(big[r:][:, perm]))
+
+
 def channelize_planar(xr, xi, k: int, taps_per_branch: int = 7):
     """Planar twin of :func:`channelize` for complex-free TPU backends:
     ``(re, im) [..., T]`` float32 -> ``(re, im) [..., K, T//K]``.
 
-    FIR, channel DFT, both planes and both output parts are folded into
-    ONE matmul over GROUPS of G output frames per row:
-    ``[F/G, 2*(G+taps-1)*K] @ [2*(G+taps-1)*K, G*2K]`` (block-Toeplitz
-    rhs).  vs the per-frame im2col (``[F, 2*taps*K] @ [2*taps*K, 2K]``)
-    this cuts the im2col overlap blow-up from ``taps``x to
-    ``(G+taps-1)/G``x (~1.2x at K=8) and widens the contraction/output
-    from 112x16 (11% MXU tile fill) to 512x416 — measured 0.54 -> 1.10
-    Gsps at the bench shape (K=8, 33.5M samples, v5e; 24-iter amortized
-    capture, round 4 — an earlier 3.0 figure was a sync-barrier
-    mismeasure and is withdrawn).  The per-frame
+    FIR, channel DFT and both output parts are folded into one matmul
+    PER PLANE over GROUPS of G output frames per row:
+    ``[F/G, (G+taps-1)*K] @ [(G+taps-1)*K, G*2K]`` (block-Toeplitz rhs,
+    output columns permuted channel-major, re-plane + im-plane products
+    summed).  vs the per-frame im2col (``[F, 2*taps*K] @ [2*taps*K,
+    2K]``) this cuts the im2col overlap blow-up from ``taps``x to
+    ``(G+taps-1)/G``x and widens the contraction/output from 112x16
+    (11% MXU tile fill) to ~1024x2048; the channel-major column
+    permutation turns the final [F, 2K] -> [2K, F] corner-turn (26 of
+    31 ms with an 8-float minor!) into a contiguous-G-row transpose.
+    Chip-measured at the bench shape (K=8, 33.5M samples, v5e, 24-iter
+    amortized): 0.54 (per-frame) -> 1.10 (G=26 combined matmul) ->
+    3.3 Gsps (this form, G=122; tools/probe_channelizer{,2}.py hold the
+    stage-by-stage evidence).  The per-frame
     form itself was 3x the staged einsum (tiny contractions lower to VPU
     reductions).  Same windows / prototype / alignment as the complex
     path (gated by tests/test_channelizer.py, atol 1e-5: the grouped
@@ -228,12 +253,16 @@ def channelize_planar(xr, xi, k: int, taps_per_branch: int = 7):
         return jnp.concatenate(
             [x0, x1[..., : (taps_per_branch - 1) * k]], axis=-1)
 
-    rhs = jnp.asarray(_grouped_bank_planar(k, taps_per_branch, g))
-    lhs = jnp.concatenate([group_rows(xr), group_rows(xi)], axis=-1)
-    out = jnp.matmul(lhs, rhs, preferred_element_type=jnp.float32)
-    out = out.reshape(*lead, f_pad, 2 * k)[..., :frames, :]
-    return (out[..., :k].swapaxes(-1, -2),
-            out[..., k:].swapaxes(-1, -2))                # [..., K, F] x2
+    top, bot = _grouped_bank_split(k, taps_per_branch, g)
+    out = (jnp.matmul(group_rows(xr), jnp.asarray(top),
+                      preferred_element_type=jnp.float32)
+           + jnp.matmul(group_rows(xi), jnp.asarray(bot),
+                        preferred_element_type=jnp.float32))
+    # channel-major columns: [.., n_groups, 2K, G] -> [.., 2K, n_groups, G]
+    # moves contiguous G-float rows (the probe-measured transpose fix)
+    v = out.reshape(*lead, n_groups, 2 * k, g)
+    v = jnp.swapaxes(v, -3, -2).reshape(*lead, 2 * k, f_pad)[..., :frames]
+    return v[..., :k, :], v[..., k:, :]                   # [..., K, F] x2
 
 
 def synthesize_channels_planar(sr, si, k: int, taps_per_branch: int = 7):
