@@ -142,13 +142,15 @@ def test_planar_channelizer_matches_complex():
 
 
 def test_planar_channelizer_degenerate_group_size():
-    """taps_per_branch=1 with k > 256 drives both _group_size terms to 0;
-    the clamp must keep the grouped matmul well-formed (user-settable via
+    """taps_per_branch=1 with k > 1024 drives both _group_size terms to 0
+    (the G*K target is 1024 since the channel-major split-bank form); the
+    clamp must keep the grouped matmul well-formed (user-settable via
     lora-rx-stream --taps)."""
-    from lora_phy_tpu.ops.channelizer import channelize_planar
+    from lora_phy_tpu.ops.channelizer import _group_size, channelize_planar
 
+    assert _group_size(2048, 1) == 1                  # the clamp is live
     rng = np.random.RandomState(3)
-    k, T = 512, 2048
+    k, T = 2048, 8192
     x = (rng.randn(T) + 1j * rng.randn(T)).astype(np.complex64)
     ref = np.asarray(channelize(x, k, taps_per_branch=1))
     pr, pi = channelize_planar(x.real.astype(np.float32),
