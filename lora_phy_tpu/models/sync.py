@@ -309,6 +309,35 @@ def _kth_valid(valid, k_max: int):
     return pos, found
 
 
+def _gather_window_rows(rows, widx0, nwin: int, step: int):
+    """Gather ``nwin`` CONSECUTIVE step-rows per frame as ONE contiguous
+    slab (``lax.gather`` with ``slice_sizes=(nwin, step)``) instead of
+    ``nwin`` separate row slices: 48 x 512 B descriptors per frame
+    become one ~24 KB DMA — 3.96 -> 2.70 ms for the both-plane gather at
+    the bench shape (round 4, tools/probe_block_gather.py; the vmapped
+    ``dynamic_slice`` spelling of the same slab is 25.6 ms, and element
+    gathers are off the chart — CLAUDE.md).
+
+    ``rows`` ``[*lead, R, step]`` pre-padded row view; ``widx0``
+    ``[*lead, K]`` first row per frame; returns ``[*lead, K, nwin,
+    step]``.  Callers pad >= 2 front rows and ``nwin + 2`` tail rows and
+    the scan keeps ``start >= -step``, so the window never reaches
+    either end and the start-clamp is semantically identical to the old
+    per-row clip (bit-identical outputs, gated by the circular/barrel
+    equality tests)."""
+    nb = widx0.ndim - 1
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(nb + 1, nb + 2),
+        collapsed_slice_dims=(),
+        start_index_map=(nb,),
+        operand_batching_dims=tuple(range(nb)),
+        start_indices_batching_dims=tuple(range(nb)))
+    st = jnp.clip(widx0, 0, rows.shape[-2] - nwin)
+    return jax.lax.gather(rows, st[..., None], dn,
+                          slice_sizes=(1,) * nb + (nwin, step),
+                          mode=jax.lax.GatherScatterMode.CLIP)
+
+
 def _circ_wrap_const(params: LoraParams):
     """``c[t+step]*conj(c[t])`` of the base upchirp lattice — the window
     wrap constant of the circular extraction (trace-time numpy).
@@ -387,7 +416,6 @@ def _receive_block_circular(xr, xi, params: LoraParams,
 
     w0 = jnp.floor_divide(start, step)    # >= -1 (scan keeps start >= -step)
     q = jnp.mod(start, step)              # circular residual, [..., K]
-    widx = w0[..., None] + 1 + jnp.arange(nwin_g, dtype=jnp.int32)
 
     def gather_rows(plane):
         tail = (nwin_g + 2) * step + (-T) % step
@@ -396,9 +424,8 @@ def _receive_block_circular(xr, xi, params: LoraParams,
         pad = jnp.pad(plane,
                       [(0, 0)] * (plane.ndim - 1) + [(2 * step, tail)])
         rows = pad.reshape(*lead, -1, step)
-        idx = jnp.clip(widx, 0, rows.shape[-2] - 1)
-        return jnp.take_along_axis(rows[..., None, :, :], idx[..., None],
-                                   axis=-2)      # [..., K, nwin_g, step]
+        return _gather_window_rows(rows, w0 + 1, nwin_g,
+                                   step)        # [..., K, nwin_g, step]
 
     g_r, g_i = gather_rows(xr), gather_rows(xi)
 
@@ -618,7 +645,6 @@ def receive_block_planar(xr, xi, params: LoraParams,
     nwin_f = win_full // step + 4      # + shift row, +/- alt windows, margin
     w0 = jnp.floor_divide(start, step)   # >= -1 (scan keeps start >= -step)
     rsub = jnp.mod(start, step)
-    widx = w0[..., None] + 1 + jnp.arange(nwin_f, dtype=jnp.int32)
 
     def gather_shift(plane):
         tail = (nwin_f + 2) * step + (-T) % step
@@ -627,9 +653,8 @@ def receive_block_planar(xr, xi, params: LoraParams,
         pad = jnp.pad(plane,
                       [(0, 0)] * (plane.ndim - 1) + [(2 * step, tail)])
         rows = pad.reshape(*lead, -1, step)            # [..., W', step]
-        idx = jnp.clip(widx, 0, rows.shape[-2] - 1)
-        g = jnp.take_along_axis(rows[..., None, :, :], idx[..., None],
-                                axis=-2)               # [..., K, nwin, step]
+        g = _gather_window_rows(rows, w0 + 1, nwin_f,
+                                step)                  # [..., K, nwin, step]
         x = g.reshape(*lead, max_frames, nwin_f * step)
         for b in range((step - 1).bit_length()):       # x[t] <- x[t + rsub]
             k = 1 << b
