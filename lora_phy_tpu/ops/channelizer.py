@@ -153,20 +153,28 @@ def _combined_bank_planar(k: int, taps_per_branch: int) -> np.ndarray:
 
 
 def _group_size(k: int, taps_per_branch: int) -> int:
-    """Frames per matmul row for the grouped form: target ``G*K ~ 1024``
-    (so the corner-turn's contiguous runs are >= 512 B — the [F, 2K] ->
-    [2K, F] transpose with an 8-float minor was the whole pipeline's
-    bottleneck at 26 of 31 ms, tools/probe_channelizer.py round 4), and
-    keep ``G >= taps - 1`` so the window of a row fits in two
-    consecutive ``G*K`` reshaped rows. The block-Toeplitz bank is dense
-    zeros-padded, so FLOPs inflate ~(G+taps-1)/taps x — at K=8/taps=7
-    that is ~19x of the useful MACs and STILL 3.1x faster end-to-end
-    than the transpose-bound G=26 form (10.1 vs 31.5 ms at 33.5M
-    samples, chip-measured). Clamped to >= 1: at ``taps_per_branch=1``
-    with ``k > 1024`` both terms hit 0, which would divide-by-zero the
-    group count downstream (``--taps`` is user-settable via
+    """Frames per matmul row for the grouped form.
+
+    The output corner-turn ``[.., n_groups, 2K, G] -> [.., 2K, F]``
+    moves rows of exactly G floats, and only a FULL 128-lane row
+    transposes at speed on this chip: at the bench shape (K=8, taps=7,
+    33.5M samples) G=128 runs 9.91 ms where G=122 takes 22.89 and G=64
+    takes 23.23 (tools/probe_channelizer2.py, chip-measured round 4) —
+    so G is rounded UP to a multiple of 128 whenever the block-Toeplitz
+    bank stays under a 128 MB budget (it is dense zeros-padded: bank
+    bytes ~ 16*K^2*G^2, so big-K banks fall back to the unaligned
+    ``G*K ~ 1024`` target and stay transpose-bound but correct). FLOPs
+    inflate ~(G+taps-1)/taps x over the useful MACs — ~19x at
+    K=8/taps=7 — and the MXU still wins 3.2x end-to-end over the
+    per-frame form. ``G >= taps - 1`` keeps a row's window inside two
+    consecutive ``G*K`` reshaped rows; the >= 1 clamp guards
+    ``taps_per_branch=1`` with ``k > 1024`` (both terms hit 0 and the
+    group count would divide-by-zero; ``--taps`` is user-settable via
     lora-rx-stream)."""
-    return max(1, taps_per_branch - 1, 1024 // k - taps_per_branch + 1)
+    g = max(1, taps_per_branch - 1, 1024 // k - taps_per_branch + 1)
+    g128 = -(-g // 128) * 128
+    bank_bytes = 16 * (g128 + taps_per_branch - 1) * k * g128 * k
+    return g128 if bank_bytes <= (128 << 20) else g
 
 
 @functools.lru_cache(maxsize=16)
@@ -219,8 +227,10 @@ def channelize_planar(xr, xi, k: int, taps_per_branch: int = 7):
     31 ms with an 8-float minor!) into a contiguous-G-row transpose.
     Chip-measured at the bench shape (K=8, 33.5M samples, v5e, 24-iter
     amortized): 0.54 (per-frame) -> 1.10 (G=26 combined matmul) ->
-    3.3 Gsps (this form, G=122; tools/probe_channelizer{,2}.py hold the
-    stage-by-stage evidence).  The per-frame
+    3.38 Gsps (this form at G=128; G must be a FULL 128-lane multiple —
+    122 or 64 lose 2.3x, see _group_size;
+    tools/probe_channelizer{,2}.py hold the stage-by-stage
+    evidence).  The per-frame
     form itself was 3x the staged einsum (tiny contractions lower to VPU
     reductions).  Same windows / prototype / alignment as the complex
     path (gated by tests/test_channelizer.py, atol 1e-5: the grouped
