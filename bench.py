@@ -92,7 +92,10 @@ def main() -> None:
         }), flush=True)
         os._exit(1)
 
-    watchdog = threading.Timer(300.0, _dead)
+    # 540 s: round-4 measured a HEALTHY claim taking ~6 min to establish
+    # (the probe run that succeeded printed its first device op 6 min
+    # after launch); 300 s was killing benches on a merely-slow tunnel
+    watchdog = threading.Timer(540.0, _dead)
     watchdog.daemon = True
     watchdog.start()
 

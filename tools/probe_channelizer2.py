@@ -37,6 +37,20 @@ def main(argv=None) -> int:
 
     from lora_phy_tpu.ops import channelizer as ch
 
+    # bench.py's startup watchdog: a wedged relay hangs the first device
+    # op forever inside a C call; never SIGTERM mid-claim (CLAUDE.md)
+    import os
+    import threading
+
+    def _dead():
+        print("TPU startup timed out: relay/tunnel unreachable",
+              file=sys.stderr, flush=True)
+        os._exit(1)
+
+    watchdog = threading.Timer(540.0, _dead)
+    watchdog.daemon = True
+    watchdog.start()
+
     k, taps = 8, 7
     tw = 1 << twlog
     g = ch._group_size(k, taps)
@@ -48,6 +62,7 @@ def main(argv=None) -> int:
     wr = jax.jit(lambda s: jax.random.normal(s, (tw,), jnp.float32))(kr)
     wi = jax.jit(lambda s: jax.random.normal(s, (tw,), jnp.float32))(ki)
     np.asarray(wr[:2])
+    watchdog.cancel()
 
     def timeit(fn, sync, label):
         out = fn()
