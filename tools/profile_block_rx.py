@@ -36,6 +36,21 @@ sys.path.insert(0, ".")
 
 
 def main() -> None:
+    # bench.py's startup watchdog: a wedged relay claim hangs the first
+    # device op forever inside a C call; never SIGTERM mid-claim. A
+    # healthy claim can still take ~6 min to establish (CLAUDE.md).
+    import os
+    import threading
+
+    def _dead():
+        print("TPU startup timed out: relay/tunnel unreachable",
+              file=sys.stderr, flush=True)
+        os._exit(1)
+
+    watchdog = threading.Timer(540.0, _dead)
+    watchdog.daemon = True
+    watchdog.start()
+
     import jax
     import jax.numpy as jnp
 
@@ -43,7 +58,8 @@ def main() -> None:
     from lora_phy_tpu.models import stream as streammod
     from lora_phy_tpu.models import sync as syncmod
     from lora_phy_tpu.models.stream import frame_overhead_samples
-    from lora_phy_tpu.models.sync import (_circ_wrap_const, _kth_valid,
+    from lora_phy_tpu.models.sync import (_circ_wrap_const,
+                                          _gather_window_rows, _kth_valid,
                                           frame_sync_scan_planar)
     from lora_phy_tpu.ops.chirp import base_downchirp_planar
     from lora_phy_tpu.ops.planar import (_preamble_phase_step,
@@ -85,6 +101,7 @@ def main() -> None:
 
     br, bi = framed_stream(jax.device_put(pay_blk, dev))
     np.asarray(br[0, :2])
+    watchdog.cancel()
     T = br.shape[-1]
     lead = br.shape[:-1]
     total = br.shape[0] * br.shape[1]
@@ -112,16 +129,13 @@ def main() -> None:
         start, cfo_bins, found = front(xr, xi)
         w0 = jnp.floor_divide(start, step)
         q = jnp.mod(start, step)
-        widx = w0[..., None] + 1 + jnp.arange(nwin_g, dtype=jnp.int32)
 
         def gather_rows(plane):
             tail = (nwin_g + 2) * step + (-T) % step
             pad = jnp.pad(plane,
                           [(0, 0)] * (plane.ndim - 1) + [(2 * step, tail)])
             rows = pad.reshape(*lead, -1, step)
-            idx = jnp.clip(widx, 0, rows.shape[-2] - 1)
-            return jnp.take_along_axis(rows[..., None, :, :],
-                                       idx[..., None], axis=-2)
+            return _gather_window_rows(rows, w0 + 1, nwin_g, step)
 
         return gather_rows(xr), gather_rows(xi), start, cfo_bins, found, q
 
