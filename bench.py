@@ -49,10 +49,16 @@ def log(msg: str) -> None:
 def _timeit(fn, sync, iters, repeats=2):
     """Best-of-`repeats` timed batches of `iters` calls each.
 
-    sync() is a tiny d2h transfer (the only real barrier on this PJRT,
-    ~27-30 ms round 3); one per batch, amortized over iters. The min over
-    batches defends the regression gate against tunnel jitter (a single
-    AWGN-MC batch was measured swinging 0.31-0.40 Mpps run to run).
+    sync() is a tiny d2h transfer (the only real barrier on this PJRT),
+    ONE per batch, so every per-iter number carries a ``+c/iters`` term
+    with c = the roundtrip: measured 24-25 ms round 4
+    (tools/probe_iter_asymptote.py; ~30 ms round 3, ~2 ms round 2).
+    Stage iteration counts below are sized so that tax stays under ~2%
+    of the program under test — at the old 24 iters it was 14% of the
+    8 ms block receiver (2.92 "Gsps" for a 3.3 Gsps program). The min
+    over batches defends the regression gate against tunnel jitter (a
+    single AWGN-MC batch was measured swinging 0.31-0.40 Mpps run to
+    run).
     """
     fn(); sync()
     best = float("inf")
@@ -134,13 +140,16 @@ def main() -> None:
     np.asarray(re[0, 0, :2])
     log(f"TX compile+first: {time.perf_counter() - t0:.2f}s")
     total_samples = channels * frames * frame_samples
+    # per-stage iteration counts: ~65-87 ms programs run 3*iters (24),
+    # ~8-15 ms programs run 8-12*iters (64-96) — sized so the ~25 ms
+    # d2h sync tax stays under ~2% of the per-iter time (_timeit doc)
     iters = 8 if platform != "cpu" else 2
 
     def run_tx():
         nonlocal re, im
         re, im = tx_step(pool_d)
 
-    dt_tx = _timeit(run_tx, lambda: np.asarray(re[0, 0, :2]), iters)
+    dt_tx = _timeit(run_tx, lambda: np.asarray(re[0, 0, :2]), 3 * iters)
     tx_sps = total_samples / dt_tx
     log(f"TX: {total_samples/1e6:.0f}M IQ samples in {dt_tx*1e3:.1f} ms "
         f"-> {tx_sps/1e9:.3f} Gsamples/s "
@@ -160,7 +169,7 @@ def main() -> None:
             sc = syncmod.frame_sync_scan_planar(sr, si, params)
 
         dt_s = _timeit(run_sync, lambda: np.asarray(sc.valid[0, :2]),
-                       max(2, iters // 2))
+                       max(2, 12 * iters))
         sync_gsps = channels * T / dt_s / 1e9
         log(f"sync scan: {sync_gsps:.3f} Gsamples/s ({dt_s*1e3:.1f} ms)")
         del sr, si, sc
@@ -205,7 +214,7 @@ def main() -> None:
         nonlocal out
         out = demod_step(xr, xi)
 
-    dt = _timeit(run_demod, lambda: np.asarray(out[0][0, 0, :2]), iters)
+    dt = _timeit(run_demod, lambda: np.asarray(out[0][0, 0, :2]), 3 * iters)
     sps = total_samples / dt
     log(f"demod: {total_samples/1e6:.1f}M IQ samples in {dt*1e3:.1f} ms "
         f"-> {sps/1e9:.3f} Gsamples/s "
@@ -248,11 +257,8 @@ def main() -> None:
             nonlocal blk
             blk = block_rx(br, bi)
 
-        # 3x iters: the d2h sync roundtrip costs ~27-30 ms on this tunnel
-        # (round 3; was ~2 ms in round 2) and _timeit amortizes it over
-        # the loop — at iters//2 it inflated this 11 ms program by ~50%
         dt_b = _timeit(run_blk, lambda: np.asarray(blk.found[0, :2]),
-                       max(2, 3 * iters))
+                       max(2, 12 * iters))
         found = np.asarray(blk.found)
         assert found.sum() >= channels * (fpc - 1), int(found.sum())
         with jax.default_device(cpu):
@@ -293,7 +299,7 @@ def main() -> None:
             nonlocal o12
             o12 = demod12(r12, i12)
 
-        dt12 = _timeit(run12, lambda: np.asarray(o12[0, :2]), 4)
+        dt12 = _timeit(run12, lambda: np.asarray(o12[0, :2]), 12)
         n12 = r12.shape[0] * r12.shape[1]
         base12 = 65.8583 * 66 * 4096      # reference SF12 row, BASELINE.md
         sf12_gsps = n12 / dt12 / 1e9
@@ -329,11 +335,8 @@ def main() -> None:
             nonlocal ch
             ch = chan_step(wr_, wi_)
 
-        # 3x iters, same reason as block-rx: the ~30 ms d2h sync barrier
-        # must be amortized or it inflates this ~12 ms program by >50%
-        # (round 3 ran 4 iters and recorded 35.5 ms/iter for it)
         dt_c = _timeit(run_chan, lambda: np.asarray(ch[0][0, :2]),
-                       max(2, 3 * iters))
+                       max(2, 12 * iters))
         chan_gsps = Tw / dt_c / 1e9
         log(f"channelizer K={K}: {chan_gsps:.3f} Gsamples/s ({dt_c*1e3:.1f} ms)")
         wr_.delete()
@@ -382,7 +385,7 @@ def main() -> None:
             wb = wideband_rx(wbr, wbi)
 
         dt_w = _timeit(run_wb, lambda: np.asarray(wb.found[0, :2]),
-                       max(2, 3 * iters))
+                       max(2, 8 * iters))
         foundw = np.asarray(wb.found)                  # [K, fpc]
         assert foundw.sum() >= K * (fpc - 1), int(foundw.sum())
         with jax.default_device(cpu):
@@ -411,7 +414,7 @@ def main() -> None:
             nonlocal mc
             mc = _simulate_point_planar(kk, snr, 7, "4/8", pkts, 16)
 
-        dt_m = _timeit(run_mc, lambda: np.asarray(mc[0]), iters)
+        dt_m = _timeit(run_mc, lambda: np.asarray(mc[0]), 3 * iters)
         awgn_mpps = pkts / dt_m / 1e6
         log(f"AWGN MC: {awgn_mpps:.3f} Mpackets/s ({dt_m*1e3:.1f} ms)")
     except Exception as e:
