@@ -227,7 +227,7 @@ def channelize_planar(xr, xi, k: int, taps_per_branch: int = 7):
     31 ms with an 8-float minor!) into a contiguous-G-row transpose.
     Chip-measured at the bench shape (K=8, 33.5M samples, v5e, 24-iter
     amortized): 0.54 (per-frame) -> 1.10 (G=26 combined matmul) ->
-    3.83 Gsps (this form at G=128, full-bench capture
+    4.20 Gsps (this form at G=128, full-bench capture
     logs/bench_r4_capture.json; G must be a FULL 128-lane multiple —
     122 or 64 lose 2.3x, see _group_size;
     tools/probe_channelizer{,2}.py hold the stage-by-stage
