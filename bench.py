@@ -270,6 +270,8 @@ def main() -> None:
             f"({int(found.sum())} frames, {dt_b*1e3:.1f} ms)")
         br.delete()
         bi.delete()
+    except AssertionError:
+        raise                 # decode/coverage mismatch IS a regression
     except Exception as e:
         log(f"block receiver skipped: {e}")
 
@@ -397,6 +399,8 @@ def main() -> None:
             f"end-to-end ({int(foundw.sum())} frames, {dt_w*1e3:.1f} ms)")
         wbr.delete()
         wbi.delete()
+    except AssertionError:
+        raise                 # decode/coverage mismatch IS a regression
     except Exception as e:
         log(f"wideband receiver skipped: {e}")
 

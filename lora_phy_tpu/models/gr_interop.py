@@ -189,6 +189,11 @@ def decode_bins(bins, sf: int, ldro: bool = False, implicit: bool = False,
     bins = np.asarray(bins).astype(np.int64)
     if mag2 is not None:
         mag2 = np.asarray(mag2)
+    # the docstring's "None when the bins run out" must also cover the
+    # 8-symbol first block (a truncated BlockFrames row, or a caller
+    # with n_payload_symbols < 8), not just the payload region below
+    if bins.shape[0] < 8 or (soft and mag2.shape[0] < 8):
+        return None
 
     # --- first block: 8 symbols, reduced rate (PPM = sf-2), CR 4/8 -------
     if soft:

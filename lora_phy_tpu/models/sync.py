@@ -1031,7 +1031,7 @@ def blind_frames(results) -> list[dict]:
 @partial(jax.jit, static_argnames=("k", "params", "n_payload_symbols",
                                    "max_frames", "preamble_len",
                                    "taps_per_branch", "min_power_db",
-                                   "pre_acc"))
+                                   "pre_acc", "tx_phase_step"))
 def receive_wideband_planar(xr, xi, k: int, params: LoraParams,
                             n_payload_symbols: int, max_frames: int = 4,
                             preamble_len: int = 8,

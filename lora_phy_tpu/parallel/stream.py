@@ -371,12 +371,10 @@ def receive_stream_block_planar(xr, xi, params: LoraParams,
     across every seam is gated by tests/test_parallel.py.
     """
     step = params.step
-    win_full = (frame_overhead_samples(params, preamble_len)
-                + n_payload_symbols * step)
     # the gathered candidate buffer reaches nwin_f = win//step + 4 windows
     # past the frame start (receive_block_planar's margin for the shift
     # row and the +/-step probe hypotheses)
-    halo_steps = -(-win_full // step) + 4
+    halo_steps = _halo_steps(params, n_payload_symbols, preamble_len)
     t_size = mesh.shape[TIME_AXIS]
     block = xr.shape[-1] // t_size
     if halo_steps * step > block:
@@ -486,6 +484,17 @@ def receive_adaptive_stream_planar(xr, xi, params: LoraParams, mesh: Mesh,
     starts = np.asarray(blk.start)
     hdr_syms = np.asarray(blk.symbols)
 
+    # largest pass-2 payload-symbol count whose frame + probe margin
+    # still fits one time-shard block: a header that decodes to a longer
+    # length (a frame genuinely longer than the block, or a corrupted
+    # length that slipped past the 5-bit checksum, ~1/32 false-accept)
+    # must NOT drive receive_stream_block_planar into its halo
+    # ValueError and take every other frame down with it
+    step = params.step
+    block = xr.shape[-1] // mesh.shape[TIME_AXIS]
+    ov_w = -(-frame_overhead_samples(params, preamble_len) // step)
+    n_cap = block // step - 4 - ov_w
+
     headers = {}                        # (channel, global_start) -> header
     nsyms = []
     for c, k in zip(*np.nonzero(found)):
@@ -502,6 +511,11 @@ def receive_adaptive_stream_planar(xr, xi, params: LoraParams, mesh: Mesh,
         cfg = coded.CodedConfig(sf=params.sf, cr=int(cr), crc=bool(crc_en),
                                 ldro=ldro)
         nsym = coded.payload_symbol_count(int(nbytes), cfg)
+        if 8 + nsym > n_cap:
+            headers[key] = (None, {
+                **info, "error": "frame exceeds time-shard block; "
+                "use fewer time shards or longer blocks"})
+            continue
         headers[key] = (cfg, info)
         nsyms.append(nsym)
     results = [{"channel": c, "start": s, "payload": None, "info": info}

@@ -32,6 +32,7 @@ artifact is interpretable without a caveat paragraph.
 from __future__ import annotations
 
 import json
+import math
 import sys
 import time
 
@@ -148,8 +149,14 @@ def main(argv=None) -> int:
     counts = [c for c in counts if c <= avail]
     platform = jax.default_backend()
     # strong mode shards ONE fixed global array over every mesh: channels
-    # must divide by every n_channel (= N or N/2)
-    channels = max(max(counts) // 2, 1) if flags["mode"] == "strong" else 0
+    # must divide by every n_channel (= N odd, N/2 even) — lcm, not
+    # max//2, or non-power-of-two sweeps (e.g. --devices=4,6) fail to
+    # shard in device_put mid-sweep
+    if flags["mode"] == "strong":
+        n_chans = [c // 2 if c % 2 == 0 else c for c in counts]
+        channels = math.lcm(*n_chans) if n_chans else 1
+    else:
+        channels = 0
 
     rows = []
     base = None

@@ -29,7 +29,7 @@ import pytest  # noqa: E402
 
 REFERENCE_DIR = pathlib.Path("/root/reference")
 
-# ``pytest -m quick``: the fast core gate subset (~3 min vs ~30 min for
+# ``pytest -m quick``: the fast core gate subset (~1 min measured vs ~30 min for
 # the full suite) — coding truth tables, golden modem cells, planar-twin
 # parity, one seam gate, one SIC gate, one e2e profile round-trip.
 # Curated here (one place) instead of scattering marker decorators.

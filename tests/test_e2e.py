@@ -384,3 +384,15 @@ def test_integrated_demodulate_oversampled(sf, osr):
     assert int(np.asarray(out.sync_word)) == p.sync_word
     assert abs(float(np.asarray(out.time_offset))) < 2.0
     np.testing.assert_array_equal(np.asarray(modem.decode(out.symbols)), pay)
+
+
+def test_gr_decode_bins_short_input_returns_none():
+    """decode_bins's documented "None when the bins run out" covers the
+    8-symbol header block too (a truncated BlockFrames row, or a caller
+    with n_payload_symbols < 8) — not just the payload region."""
+    from lora_phy_tpu.models import gr_interop
+
+    assert gr_interop.decode_bins(np.zeros(5, np.int64), 7) is None
+    assert gr_interop.decode_bins(
+        np.zeros(5, np.int64), 7, soft=True,
+        mag2=np.zeros((5, 32), np.float32)) is None

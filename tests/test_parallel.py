@@ -449,3 +449,44 @@ def test_profiling_roofline():
     assert 0 < r7.attained(max(r7.t_compute_s, r7.t_memory_s) * 2) <= 0.5
     r12 = demod_roofline(LoraParams(sf=12), 1000)
     assert r12.flops < 1000 * 8 * 4096 * 4096  # four-step, not dense N^2
+
+
+def test_adaptive_mesh_defers_frame_longer_than_block(devices):
+    """A header whose decoded length cannot fit one time-shard block
+    (a genuinely long frame, or a corrupted length that slipped past the
+    5-bit header checksum) must NOT crash pass 2's sharded receive: the
+    oversized frame is reported with an ``error`` info row and every
+    other frame still decodes (regression: receive_stream_block_planar's
+    halo ValueError used to take the whole call down)."""
+    from lora_phy_tpu.models import stream as streammod
+    from lora_phy_tpu.models.coded import CodedConfig
+    from lora_phy_tpu.parallel.stream import receive_adaptive_stream_planar
+
+    p = LoraParams(sf=7)
+    m = meshlib.make_mesh(n_channel=2, n_time=2, devices=devices[:4])
+    block = 16384                       # 128 steps -> pass-2 cap ~111 sym
+    total = 2 * block
+    cfg = CodedConfig(sf=7, cr=2)
+    s = np.zeros((2, total), np.complex64)
+
+    ok_payload = b"fits fine"
+    iq_ok = np.asarray(streammod.frame_encode(
+        np.frombuffer(ok_payload, np.uint8), cfg, p))
+    s[0, 400: 400 + iq_ok.size] = iq_ok
+
+    big_payload = bytes(range(120))     # ~2x the per-block symbol budget
+    iq_big = np.asarray(streammod.frame_encode(
+        np.frombuffer(big_payload, np.uint8), cfg, p))
+    assert iq_big.size > block, "test premise: frame longer than a block"
+    s[1, 200: 200 + iq_big.size] = iq_big
+
+    re, im = planar.split_complex(s)
+    sh = meshlib.stream_sharding(m)
+    res = receive_adaptive_stream_planar(
+        jax.device_put(re, sh), jax.device_put(im, sh), p, m, max_frames=2)
+
+    by_channel = {r["channel"]: r for r in res}
+    assert by_channel[0]["payload"] == ok_payload
+    assert by_channel[0]["info"]["crc_ok"]
+    assert by_channel[1]["payload"] is None
+    assert "time-shard block" in by_channel[1]["info"]["error"]

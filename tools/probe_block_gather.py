@@ -40,7 +40,7 @@ def main() -> int:
               file=sys.stderr, flush=True)
         os._exit(1)
 
-    watchdog = threading.Timer(300.0, _dead)
+    watchdog = threading.Timer(540.0, _dead)
     watchdog.daemon = True
     watchdog.start()
 

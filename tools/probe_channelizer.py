@@ -30,6 +30,21 @@ def main(argv=None) -> int:
         elif a.startswith("--iters="):
             iters = int(a.split("=", 1)[1])
 
+    # bench.py's startup watchdog: a wedged relay claim hangs the first
+    # device op forever inside a C call; never SIGTERM mid-claim. A
+    # healthy claim can still take ~6 min to establish (CLAUDE.md).
+    import os
+    import threading
+
+    def _dead():
+        print("TPU startup timed out: relay/tunnel unreachable",
+              file=sys.stderr, flush=True)
+        os._exit(1)
+
+    watchdog = threading.Timer(540.0, _dead)
+    watchdog.daemon = True
+    watchdog.start()
+
     import jax
     import jax.numpy as jnp
 
@@ -45,6 +60,7 @@ def main(argv=None) -> int:
     wr = jax.jit(lambda s: jax.random.normal(s, (tw,), jnp.float32))(kr)
     wi = jax.jit(lambda s: jax.random.normal(s, (tw,), jnp.float32))(ki)
     np.asarray(wr[:2])
+    watchdog.cancel()
 
     def timeit(fn, sync, label):
         out = fn()
