@@ -131,7 +131,8 @@ def payload_block_plan(sf: int, cr: int, length: int, crc: bool,
 def decode_frame(samples, params: LoraParams, preamble_len: int = 8,
                  ldro: bool = False, implicit: bool = False,
                  length: int | None = None, cr: int | None = None,
-                 crc: bool | None = None, soft: bool = False):
+                 crc: bool | None = None, soft: bool = False,
+                 tx_phase_step: float | None = 0.0):
     """Detect and decode one gr-lora_sdr frame from a continuous stream.
 
     ``ldro``/``implicit`` select the capture-naming cells
@@ -154,10 +155,16 @@ def decode_frame(samples, params: LoraParams, preamble_len: int = 8,
     avail = (np.asarray(samples).shape[-1] - res.payload_start) // params.step
     if avail < 8:
         return None
-    # gr-lora_sdr preambles carry no per-symbol phase step (unlike our
-    # lattice modulator's pi): tell the fine-CFO estimator so
+    # TX phase convention for the fine-CFO estimator: real gr-lora_sdr
+    # frames carry no per-symbol phase step (the default 0.0); frames
+    # synthesized by :func:`encode_frame` ride the phase-continuous
+    # lattice whose step is pi per symbol — pass ``tx_phase_step=None``
+    # for those (the estimator then derives the lattice value). The
+    # wrong convention parks the fractional-CFO estimate at exactly
+    # half a bin, where every hard decision is an ULP coin flip.
     dm = stream.frame_demodulate(samples, params, int(avail), preamble_len,
-                                 tx_phase_step=0.0, return_spectra=soft,
+                                 tx_phase_step=tx_phase_step,
+                                 return_spectra=soft,
                                  sync_result=res)
     out = dm[0]
     if out is None:
@@ -331,4 +338,17 @@ def encode_frame(payload: bytes, params: LoraParams, cr: int = 1,
         pbins = np.zeros(0, np.int64)
 
     symbols = np.concatenate([bins0, pbins]).astype(np.uint16)
+    # gr BINS on OUR phase-continuous lattice TX. The phase conventions
+    # genuinely differ: gr-lora_sdr builds each symbol chirp
+    # independently (zero per-symbol phase step, pi DISCONTINUITIES at
+    # chirp boundaries), while the lattice TX is phase-continuous with
+    # a pi step per symbol. Emitting the gr trajectory here was built
+    # and measured WORSE: the boundary jumps cancel the dechirped tone
+    # of every straddling scan window (10/10 sync misses at +6 dB for
+    # mid-window arrivals), while the pi step is a per-symbol constant
+    # any magnitude receiver ignores. Decode frames from here with
+    # ``decode_frame(..., tx_phase_step=None)`` (the lattice
+    # convention); the 0.0 default is for real gr captures — with 0.0
+    # the estimator reads the pi step as exactly half a bin and hard
+    # decisions become ULP coin flips.
     return stream.frame_modulate(symbols, params, preamble_len=preamble_len)

@@ -42,11 +42,17 @@ def frame_overhead_samples(params: LoraParams, preamble_len: int = 8) -> int:
 
 
 def frame_modulate(symbols, params: LoraParams, preamble_len: int = 8,
-                   amplitude: float = 1.0):
+                   amplitude: float = 1.0, symbol_phase_carry: bool = True):
     """Build a full LoRa frame: ``preamble_len`` base upchirps, 2 sync-word
     upchirps, 2.25 base downchirps, then payload upchirps.
 
     [..., S] symbols -> [..., overhead + S*step] complex64.
+    ``symbol_phase_carry=False`` starts every symbol chirp at phase 0
+    (the gr-lora_sdr modulator builds each symbol independently; its
+    preambles then carry NO per-symbol phase step, which is what the
+    gr decode path's ``tx_phase_step=0.0`` estimator expects — with the
+    lattice carry left on, the estimator sits at exactly half a bin and
+    the decision becomes an ULP coin flip).
     """
     symbols = jnp.asarray(symbols)
     step = params.step
@@ -57,10 +63,12 @@ def frame_modulate(symbols, params: LoraParams, preamble_len: int = 8,
     # *before* the sync, so modulate zeros+payload and reorder segments.
     body = modulate_symbols(symbols, params.sf, params.osr, params.scale,
                             amplitude, params.sync_word,
-                            params.continuous_chirp)      # [..., (S+2)*step]
+                            params.continuous_chirp,
+                            symbol_phase_carry)           # [..., (S+2)*step]
     pre = modulate_symbols(zeros[..., 2:], params.sf, params.osr, params.scale,
                            amplitude, 0x00,
-                           params.continuous_chirp)       # preamble upchirps
+                           params.continuous_chirp,
+                           symbol_phase_carry)            # preamble upchirps
     # one phase-continuous 2.25-symbol downchirp (no copy seams, so any
     # fully-covered RX window dechirps to a clean single tone)
     down_sec, _ = gen_chirp(

@@ -166,21 +166,24 @@ def frame_sync_scan_planar(xr, xi, params: LoraParams,
         up_peak_pair = jnp.max(up2, axis=-1) / 2.0
 
     # --- preamble run lengths (vectorized run-detect) ---------------------
-    # At osr>1 a sub-osr arrival phase puts the dechirped preamble tone
-    # at a half-bin (e.g. odd-sample arrivals at osr=2: -rsub/osr ends
-    # in .5), where the per-window argmax flips between the two adjacent
-    # bins on float rounding and an exact-equality run never forms —
-    # accept +-1-bin neighbors there. osr=1 keeps the exact-equality
-    # contract (tones are integer bins; tolerance would only weaken
-    # noise selectivity). The run-end bin then wanders +-1: downstream
-    # absorbs it (integer CFO error rides the preamble-anchored
-    # fractional estimator; timing error rides the sub-osr refinement).
+    # A dechirped preamble tone can sit at a HALF-BIN, where the
+    # per-window argmax flips between the two adjacent bins on float
+    # rounding and an exact-equality run never forms — accept +-1-bin
+    # neighbors. Two real sources: (a) osr>1 sub-osr arrival phases
+    # (odd-sample arrivals at osr=2: -rsub/osr ends in .5); (b) at ANY
+    # osr, per-symbol-independent TX a la gr-lora_sdr (zero phase carry
+    # -> a pi jump at every chirp boundary) splits the tone of every
+    # grid window that straddles a boundary — measured 10/10 sync
+    # failures at +6 dB for mid-window arrivals under the osr=1
+    # exact-equality contract, 0/10 tolerant. Noise selectivity cost is
+    # negligible: a false +-1 run of length 5 is (3/n)^5 vs (1/n)^5,
+    # ~6e-9 at n=128, and the concentration/power/sync-word gates
+    # remain. The run-end bin then wanders +-1: downstream absorbs it
+    # (integer CFO error rides the preamble-anchored fractional
+    # estimator; timing error rides the sub-osr refinement).
     w_idx = jnp.arange(nwin, dtype=jnp.int32)
-    if osr == 1:
-        adj = ub[..., 1:] == ub[..., :-1]
-    else:
-        d_ub = jnp.mod(ub[..., 1:] - ub[..., :-1], n)
-        adj = (d_ub == 0) | (d_ub == 1) | (d_ub == n - 1)
+    d_ub = jnp.mod(ub[..., 1:] - ub[..., :-1], n)
+    adj = (d_ub == 0) | (d_ub == 1) | (d_ub == n - 1)
     eq = jnp.concatenate([jnp.zeros(lead + (1,), bool), adj], axis=-1)
     last_false = jax.lax.cummax(
         jnp.where(eq, jnp.int32(-1), w_idx).astype(jnp.int32), axis=len(lead)
@@ -202,12 +205,11 @@ def frame_sync_scan_planar(xr, xi, params: LoraParams,
     # (silence: 0 > 0 is False) without touching genuine frames. --------
     if pre_acc == 1:
         dn_dom = dn_peak > up_peak
-        if osr == 1:
-            db_adj = db[..., 1:] == db[..., :-1]
-        else:
-            # same half-bin flip tolerance as the preamble run above
-            d_db = jnp.mod(db[..., 1:] - db[..., :-1], n)
-            db_adj = (d_db == 0) | (d_db == 1) | (d_db == n - 1)
+        # same half-bin flip tolerance as the preamble run above (the
+        # SFD downchirps straddle boundaries with the same pi jump
+        # under per-symbol-independent TX)
+        d_db = jnp.mod(db[..., 1:] - db[..., :-1], n)
+        db_adj = (d_db == 0) | (d_db == 1) | (d_db == n - 1)
         db_eq = jnp.concatenate(
             [db_adj & dn_dom[..., :-1],
              jnp.zeros(lead + (1,), bool)], axis=-1

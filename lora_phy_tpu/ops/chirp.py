@@ -27,6 +27,7 @@ complex64 in [-1, 1] (SEMANTIC_COMPATIBILITY.md:6-14).
 
 from __future__ import annotations
 
+import functools
 import math
 from functools import partial
 
@@ -95,7 +96,7 @@ def gen_chirp_np(
 
 
 def _chirp_phase(symbols, n: int, osr: int, bw_scale_x8: int,
-                 continuous: bool = False):
+                 continuous: bool = False, phase_carry: bool = True):
     """Shared integer-lattice phase for phase-continuous upchirps.
 
     ``symbols``: [..., S] int32 symbol values in [0, N). Returns the
@@ -142,47 +143,132 @@ def _chirp_phase(symbols, n: int, osr: int, bw_scale_x8: int,
     t_lattice = s_cum - half_m * k1                        # phase / fStep, int32
 
     # Cross-symbol carry: s-th symbol starts at phase fStep * (s*M/2 mod P)
+    # (phase_carry=False: every symbol starts at phase 0 — the
+    # gr-lora_sdr per-symbol-independent modulator convention)
     s_idx = jnp.arange(symbols.shape[-1], dtype=jnp.int32)
-    carry = (s_idx * half_m) % p                           # [S]
+    carry = (s_idx * half_m) % p if phase_carry else jnp.zeros(
+        symbols.shape[-1], jnp.int32)                      # [S]
 
     lattice = (carry[:, None] + t_lattice) % p             # [..., S, M] in [0, P)
     return lattice.astype(jnp.float32) * jnp.float32(f_step)
 
 
-@partial(jax.jit, static_argnames=("n", "osr", "bw_scale_x8", "continuous"))
+# Pure-gather TX: the modulated chirp for (symbol value w, slot index s)
+# is cos/sin of fStep * ((carry_s + t_lattice[w, k]) mod P), and carry_s
+# = s*(M/2) mod P cycles with period P/gcd(M/2, P) — tiny (2 at
+# bw_scale 1, osr 1). So the WHOLE waveform space is a
+# [period*N, M] cos + sin table pair, and modulation is one row gather
+# per plane with zero device trig: ~5x the trig emitter on the chip
+# (84.6 -> ~16 ms at the 554M-sample bench shape; transcendentals were
+# the TX bottleneck, not bandwidth). Budget-gated per plane — large
+# SF x osr x narrow-scale configs fall back to the closed-form trig
+# path below.
+_TX_TABLE_BUDGET_BYTES = 16 * 1024 * 1024
+
+
+@functools.lru_cache(maxsize=8)
+def _mod_chirp_tables(n: int, osr: int, bw_scale_x8: int, continuous: bool,
+                      phase_carry: bool = True):
+    """``(carry_period, cos_table, sin_table)`` with tables
+    ``[period*N, M]`` float32 (row ``c*N + w`` = slot-class c, symbol w),
+    or ``None`` when a table would exceed the per-plane budget.
+
+    Built in float64 numpy from the SAME integer lattice as
+    :func:`_chirp_phase` (int64 here, so no int32-overflow guard is
+    needed); entries are cos/sin of the exactly-reduced lattice angle,
+    so the table is, if anything, closer to the sequential float64
+    oracle than the on-device float32 trig it replaces."""
+    bw_scale = bw_scale_x8 / 8.0
+    f_step, p = _lattice_period(n, osr, bw_scale)
+    m = n * osr
+    half_m = m // 2
+    # phase_carry=False drops the cross-symbol continuity term entirely
+    # (every symbol chirp starts at phase 0 — the gr-lora_sdr modulator
+    # convention, which builds each symbol waveform independently):
+    # carry period collapses to 1
+    period = p // math.gcd(half_m, p) if phase_carry else 1
+    # 2N value rows, not N: the simple chain's Hamming84 symbols are
+    # 8-bit and alias mod N at SF7 BY DESIGN (values up to 255 at
+    # N=128; CLAUDE.md) — and chirp(w) differs from chirp(w mod N) by
+    # a constant lattice phase, so the aliased rows are tabulated from
+    # the same closed form rather than folded (the float64-oracle gate
+    # covers exactly these fixture symbols)
+    n_rows = 2 * n
+    if period * n_rows * m * 4 > _TX_TABLE_BUDGET_BYTES:
+        return None
+    ks = np.arange(m, dtype=np.int64)
+    k1 = ks + 1
+    w = (np.arange(n_rows, dtype=np.int64) * osr)[:, None]  # [2N, 1]
+    off = 1 if continuous else 0
+    wraps = np.maximum(0, k1[None, :] + w - m - off)
+    s_cum = k1 * (w + 1) + (ks * k1) // 2 - m * wraps
+    t_lat = s_cum - half_m * k1                            # [2N, M]
+    carry = (np.arange(period, dtype=np.int64) * half_m) % p
+    lat = (carry[:, None, None] + t_lat[None]) % p         # [period, 2N, M]
+    ang = lat.astype(np.float64) * f_step
+    return (period,
+            np.cos(ang).astype(np.float32).reshape(period * n_rows, m),
+            np.sin(ang).astype(np.float32).reshape(period * n_rows, m))
+
+
+@partial(jax.jit, static_argnames=("n", "osr", "bw_scale_x8", "continuous",
+                                   "phase_carry"))
 def _mod_chirps(symbols, n: int, osr: int, bw_scale_x8: int, ampl,
-                continuous: bool = False):
-    """Complex64 phase-continuous upchirps (see :func:`_chirp_phase`)."""
-    phase = _chirp_phase(symbols, n, osr, bw_scale_x8, continuous)
-    return (ampl * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))).astype(
-        jnp.complex64
-    )
+                continuous: bool = False, phase_carry: bool = True):
+    """Complex64 phase-continuous upchirps (see :func:`_chirp_phase`).
+
+    Assembled from the planar twin's planes so the two emitters stay
+    bit-identical by construction (table-gather or trig alike)."""
+    re, im = _mod_chirps_planar(symbols, n, osr, bw_scale_x8, ampl,
+                                continuous, phase_carry)
+    return jax.lax.complex(re, im).astype(jnp.complex64)
 
 
-@partial(jax.jit, static_argnames=("n", "osr", "bw_scale_x8", "continuous"))
+@partial(jax.jit, static_argnames=("n", "osr", "bw_scale_x8", "continuous",
+                                   "phase_carry"))
 def _mod_chirps_planar(symbols, n: int, osr: int, bw_scale_x8: int, ampl,
-                       continuous: bool = False):
+                       continuous: bool = False, phase_carry: bool = True):
     """Planar (re, im float32) twin of :func:`_mod_chirps` — the TX path
     for accelerators without complex support (and the TPU-native layout
-    regardless). Bit-identical planes to the complex emitter."""
-    phase = _chirp_phase(symbols, n, osr, bw_scale_x8, continuous)
+    regardless). Bit-identical planes to the complex emitter.
+
+    Dispatches to the pure-gather table emitter when the
+    :func:`_mod_chirp_tables` budget allows (the hot TX path: one row
+    gather per plane, no device trig), else the closed-form lattice
+    trig path. ``phase_carry=False`` emits every symbol chirp from
+    phase 0 (the gr-lora_sdr per-symbol-independent convention)."""
     ampl = jnp.float32(ampl)
-    return ampl * jnp.cos(phase), ampl * jnp.sin(phase)
+    tabs = _mod_chirp_tables(n, osr, bw_scale_x8, continuous, phase_carry)
+    if tabs is None:
+        phase = _chirp_phase(symbols, n, osr, bw_scale_x8, continuous,
+                             phase_carry)
+        return ampl * jnp.cos(phase), ampl * jnp.sin(phase)
+    period, tc, ts = tabs
+    s_idx = jnp.arange(symbols.shape[-1], dtype=jnp.int32) % period
+    # table rows cover aliased values [0, 2N); "clip" (not the NaN-fill
+    # default) bounds anything beyond like the trig path's wrap would
+    idx = jnp.clip(symbols.astype(jnp.int32), 0, 2 * n - 1) + 2 * n * s_idx
+    re = jnp.take(jnp.asarray(tc), idx, axis=0, mode="clip")  # [..., S, M]
+    im = jnp.take(jnp.asarray(ts), idx, axis=0, mode="clip")
+    return ampl * re, ampl * im
 
 
 def modulate_symbols(symbols, sf: int, osr: int, bw_scale: float,
                      ampl: float = 1.0, sync_word: int = 0x12,
-                     continuous: bool = False):
+                     continuous: bool = False, phase_carry: bool = True):
     """TX chain of ``lora_modulate`` (reference: src/phy/LoRaMod.cpp:8-43):
     2 sync-word upchirps followed by one upchirp per symbol, phase-continuous,
     amplitude clamped to [-1, 1].
 
     ``symbols``: [..., S] integer array. Returns [..., (S+2)*N*osr] complex64.
+    ``phase_carry=False`` starts every symbol chirp at phase 0 (gr-lora_sdr
+    builds each symbol waveform independently — models/gr_interop.py).
     """
     allsyms = _tx_symbol_plan(symbols, sf, sync_word)
     ampl = float(np.clip(ampl, -1.0, 1.0))
     bw8 = int(round(bw_scale * 8))
-    chirps = _mod_chirps(allsyms, 1 << sf, osr, bw8, ampl, continuous)
+    chirps = _mod_chirps(allsyms, 1 << sf, osr, bw8, ampl, continuous,
+                         phase_carry)
     return chirps.reshape(*chirps.shape[:-2], -1)
 
 
@@ -200,7 +286,8 @@ def _tx_symbol_plan(symbols, sf: int, sync_word: int):
 
 def modulate_symbols_planar(symbols, sf: int, osr: int, bw_scale: float,
                             ampl: float = 1.0, sync_word: int = 0x12,
-                            continuous: bool = False):
+                            continuous: bool = False,
+                            phase_carry: bool = True):
     """Planar twin of :func:`modulate_symbols` — the full ``lora_modulate``
     TX chain (src/phy/LoRaMod.cpp:8-43) emitting (re, im) float32 planes so
     the modulator runs on complex-free TPU backends. Planes are bit-exact
@@ -211,7 +298,8 @@ def modulate_symbols_planar(symbols, sf: int, osr: int, bw_scale: float,
     allsyms = _tx_symbol_plan(symbols, sf, sync_word)
     ampl = float(np.clip(ampl, -1.0, 1.0))
     bw8 = int(round(bw_scale * 8))
-    re, im = _mod_chirps_planar(allsyms, 1 << sf, osr, bw8, ampl, continuous)
+    re, im = _mod_chirps_planar(allsyms, 1 << sf, osr, bw8, ampl, continuous,
+                                phase_carry)
     return (re.reshape(*re.shape[:-2], -1), im.reshape(*im.shape[:-2], -1))
 
 

@@ -228,7 +228,8 @@ def test_gr_interop_tx_rx_roundtrip():
         iq = np.asarray(gr_interop.encode_frame(payload, p, cr=cr))
         sig = np.concatenate([np.zeros(200, np.complex64), iq,
                               np.zeros(3 * p.step, np.complex64)])
-        frame = gr_interop.decode_frame(sig, p)
+        # our encode_frame TX rides the lattice phase convention
+        frame = gr_interop.decode_frame(sig, p, tx_phase_step=None)
         assert frame is not None and frame.header_ok
         assert frame.cr == cr and frame.length == len(payload)
         assert frame.payload == payload
@@ -360,7 +361,8 @@ def test_gr_interop_cell_matrix(sf, ldro, implicit):
         kw = (dict(length=len(payload), cr=cr, crc=True)
               if implicit else {})
         frame = gr_interop.decode_frame(sig, p, ldro=ldro,
-                                        implicit=implicit, **kw)
+                                        implicit=implicit,
+                                        tx_phase_step=None, **kw)
         assert frame is not None and frame.header_ok
         assert frame.length == len(payload) and frame.cr == cr
         assert frame.payload == payload

@@ -113,3 +113,48 @@ def test_compensate_offsets_planar_overrange_is_noop_shift():
                                               np.float32(count + 5))
     np.testing.assert_allclose(np.asarray(yr), ref.real, atol=2e-6)
     np.testing.assert_allclose(np.asarray(yi), ref.imag, atol=2e-6)
+
+
+import jax.numpy as jnp
+
+
+def test_table_emitter_matches_lattice_trig():
+    """The pure-gather TX table (ops.chirp._mod_chirp_tables) reproduces
+    the closed-form lattice trig emitter at float32 ULP level for every
+    symbol value of the ALIASED range [0, 2N) — including the 8-bit
+    Hamming84 symbols that exceed N at SF7 by design — at several
+    (osr, scale, continuous) cells."""
+    from lora_phy_tpu.ops import chirp
+
+    for (n, osr, bw8, cont) in [(128, 1, 8, False), (128, 1, 8, True),
+                                (128, 2, 8, False), (256, 2, 4, False)]:
+        syms = np.arange(2 * n, dtype=np.int32).reshape(2, -1)
+        tabs = chirp._mod_chirp_tables(n, osr, bw8, cont)
+        assert tabs is not None
+        ph = np.asarray(chirp._chirp_phase(jnp.asarray(syms), n, osr, bw8,
+                                           cont))
+        re, im = chirp._mod_chirps_planar(jnp.asarray(syms), n, osr, bw8,
+                                          1.0, cont)
+        np.testing.assert_allclose(np.asarray(re), np.cos(ph), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(im), np.sin(ph), atol=2e-6)
+
+
+def test_phase_carry_off_restarts_every_symbol_at_phase_zero():
+    """phase_carry=False (the gr-lora_sdr per-symbol-independent
+    convention): every slot emits the SAME waveform for the same symbol
+    value — no cross-symbol continuity term — and the first sample of a
+    value-0 chirp is phase 0."""
+    from lora_phy_tpu.ops import chirp
+
+    n, osr, bw8 = 128, 1, 8
+    syms = np.tile(np.array([5, 5, 5, 5], np.int32), (1, 1))
+    re, im = chirp._mod_chirps_planar(jnp.asarray(syms), n, osr, bw8, 1.0,
+                                      False, False)
+    re, im = np.asarray(re)[0], np.asarray(im)[0]
+    for s in range(1, 4):
+        np.testing.assert_array_equal(re[s], re[0])
+        np.testing.assert_array_equal(im[s], im[0])
+    # carry ON: slots differ by the lattice constant (pi at scale 1)
+    re2, im2 = chirp._mod_chirps_planar(jnp.asarray(syms), n, osr, bw8, 1.0,
+                                        False, True)
+    assert not np.array_equal(np.asarray(re2)[0, 1], np.asarray(re2)[0, 0])

@@ -149,6 +149,7 @@ def test_gr_soft_loopback_cells(sf, ldro, implicit):
         noisy = np.asarray(apply_awgn(jax.random.PRNGKey(cr), sig, 6.0))
         kw = dict(length=len(payload), cr=cr, crc=True) if implicit else {}
         frame = gr_interop.decode_frame(noisy, p, ldro=ldro,
-                                        implicit=implicit, soft=True, **kw)
+                                        implicit=implicit, soft=True,
+                                        tx_phase_step=None, **kw)
         assert frame is not None, cr
         assert frame.payload == payload and frame.crc_ok, cr
