@@ -194,6 +194,8 @@ def decode_bins(bins, sf: int, ldro: bool = False, implicit: bool = False,
     if implicit and (length is None or cr is None or crc is None):
         raise ValueError("implicit header needs length, cr and crc")
     bins = np.asarray(bins).astype(np.int64)
+    if soft and mag2 is None:
+        raise ValueError("soft=True requires the matching mag2 spectra")
     if mag2 is not None:
         mag2 = np.asarray(mag2)
     # the docstring's "None when the bins run out" must also cover the
@@ -245,6 +247,8 @@ def decode_bins(bins, sf: int, ldro: bool = False, implicit: bool = False,
     pay_bins = bins[8: 8 + nsym]
     if pay_bins.shape[-1] < nsym:
         return None
+    if soft and mag2.shape[0] < 8 + nsym:
+        return None                     # truncated spectra, not short LLRs
     if nsym and soft:
         from . import soft as softmod
 

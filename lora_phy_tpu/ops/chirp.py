@@ -238,6 +238,10 @@ def _mod_chirps_planar(symbols, n: int, osr: int, bw_scale_x8: int, ampl,
     trig path. ``phase_carry=False`` emits every symbol chirp from
     phase 0 (the gr-lora_sdr per-symbol-independent convention)."""
     ampl = jnp.float32(ampl)
+    # value contract is [0, 2N) (Hamming84 symbols alias mod N by design,
+    # up to 2N-1); reduce mod 2N in BOTH emitters so the table-gather and
+    # trig paths stay bit-identical for any out-of-contract input
+    symbols = symbols.astype(jnp.int32) % (2 * n)
     tabs = _mod_chirp_tables(n, osr, bw_scale_x8, continuous, phase_carry)
     if tabs is None:
         phase = _chirp_phase(symbols, n, osr, bw_scale_x8, continuous,
@@ -245,9 +249,7 @@ def _mod_chirps_planar(symbols, n: int, osr: int, bw_scale_x8: int, ampl,
         return ampl * jnp.cos(phase), ampl * jnp.sin(phase)
     period, tc, ts = tabs
     s_idx = jnp.arange(symbols.shape[-1], dtype=jnp.int32) % period
-    # table rows cover aliased values [0, 2N); "clip" (not the NaN-fill
-    # default) bounds anything beyond like the trig path's wrap would
-    idx = jnp.clip(symbols.astype(jnp.int32), 0, 2 * n - 1) + 2 * n * s_idx
+    idx = symbols + 2 * n * s_idx
     re = jnp.take(jnp.asarray(tc), idx, axis=0, mode="clip")  # [..., S, M]
     im = jnp.take(jnp.asarray(ts), idx, axis=0, mode="clip")
     return ampl * re, ampl * im

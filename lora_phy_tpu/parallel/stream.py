@@ -424,22 +424,31 @@ def receive_blind_stream_planar(xr, xi, base_params: LoraParams,
     across the spectrum — see the single-device docstring); the mesh adds
     nothing to the math, only the frame-length right-halo exchange per
     SF. SFs whose preamble cannot fit the stream, or whose frame+margin
-    halo exceeds one time-shard block, are omitted (the same fit rule as
-    single-device, plus the §5.7a halo constraint).
+    halo exceeds one time-shard block, are omitted from the result AND
+    reported via ``warnings.warn`` — so 'not scanned' is distinguishable
+    from 'scanned, no frames' (the single-device twin scans every SF).
     """
     import dataclasses
+    import warnings
 
     t_size = mesh.shape[TIME_AXIS]
     block = xr.shape[-1] // t_size
     out = {}
     for sf in sfs:
         p = dataclasses.replace(base_params, sf=sf)
+        skip = None
         if xr.shape[-1] // p.step < preamble_len + 4:
+            skip = "stream shorter than preamble+margin"
+        elif _halo_steps(p, n_payload_symbols, preamble_len) * p.step > block:
+            skip = "frame + margin halo exceeds one time-shard block"
+        elif block % p.step:
+            skip = "time-shard seam does not land on a symbol boundary"
+        if skip is not None:
+            warnings.warn(
+                f"blind mesh scan skipped SF{sf}: {skip} (block={block}, "
+                f"step={p.step}); use fewer time shards or a longer stream",
+                stacklevel=2)
             continue
-        if _halo_steps(p, n_payload_symbols, preamble_len) * p.step > block:
-            continue                    # frame + margin exceeds one shard
-        if block % p.step:
-            continue                    # shard seam must land on a symbol
         out[sf] = receive_stream_block_planar(
             xr, xi, p, n_payload_symbols, mesh, max_frames, preamble_len,
             min_power_db, pre_acc=pre_acc,

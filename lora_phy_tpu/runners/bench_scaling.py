@@ -169,8 +169,11 @@ def main(argv=None) -> int:
             # constant per-device work: ideal is flat per-device time
             row["efficiency"] = round(base["t_full_ms"] / row["t_full_ms"], 4)
         else:
+            # anchor the first measured row at 1.0 (like weak mode) so a
+            # sweep not starting at 1 device still self-normalizes
             row["efficiency"] = round(
-                row["samples_per_s"] / (c * base["samples_per_s"]), 4)
+                (row["samples_per_s"] / base["samples_per_s"])
+                / (c / base["devices"]), 4)
         rows.append(row)
         print(
             f"devices={c} mesh={row['mesh']}: {row['t_full_ms']:.1f} ms "
