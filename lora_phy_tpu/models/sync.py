@@ -367,7 +367,8 @@ def _circ_wrap_const(params: LoraParams):
 def _receive_block_circular(xr, xi, params: LoraParams,
                             n_payload_symbols: int, max_frames: int,
                             preamble_len: int, start, cfo_bins, found,
-                            tx_phase_step: float | None = None):
+                            tx_phase_step: float | None = None,
+                            with_spectra: bool = False):
     """Shift-free window extraction + demod (osr=1, rectangular window).
 
     The barrel shifter costs log2(step) full passes over the per-frame
@@ -566,21 +567,33 @@ def _receive_block_circular(xr, xi, params: LoraParams,
     sro_ppm = estimate_sro_planar(
         pd_r.reshape(*lead, max_frames, n_payload_symbols * step),
         pd_i.reshape(*lead, max_frames, n_payload_symbols * step), params)
-    return BlockFrames(found, start, cfo_bins, syms, sync_word,
-                       cfo_resid, jnp.zeros_like(cfo_resid),
-                       snr_db.astype(jnp.float32), sro_ppm)
+    blk = BlockFrames(found, start, cfo_bins, syms, sync_word,
+                      cfo_resid, jnp.zeros_like(cfo_resid),
+                      snr_db.astype(jnp.float32), sro_ppm)
+    if not with_spectra:
+        return blk
+    # un-scramble the payload spectra to TRUE bin order for the soft
+    # path: power of true bin v sits at rotated index (v - corr_p) mod n
+    # (decisions above read the inverse map). Small opt-in gather —
+    # [K, S, n] per channel, never on the bench-gated decision path.
+    v = jnp.arange(n, dtype=jnp.int32)
+    idx = jnp.mod(v - corr_p, n)[..., None, :]             # [..., K, 1, n]
+    spectra = jnp.take_along_axis(
+        mag2_pay, jnp.broadcast_to(idx, mag2_pay.shape), axis=-1)
+    return blk, spectra
 
 
 @partial(jax.jit, static_argnames=("params", "n_payload_symbols",
                                    "max_frames", "preamble_len",
                                    "min_power_db", "pre_acc",
-                                   "tx_phase_step"))
+                                   "tx_phase_step", "with_spectra"))
 def receive_block_planar(xr, xi, params: LoraParams,
                          n_payload_symbols: int, max_frames: int = 4,
                          preamble_len: int = 8,
                          min_power_db: float | None = None,
                          pre_acc: int = 1,
-                         tx_phase_step: float | None = None) -> BlockFrames:
+                         tx_phase_step: float | None = None,
+                         with_spectra: bool = False) -> BlockFrames:
     """Demodulate every frame in a continuous block, fully on-device.
 
     One jit over ``[..., channels, T]`` planes: the two-sided dechirp
@@ -598,6 +611,15 @@ def receive_block_planar(xr, xi, params: LoraParams,
     (default: our lattice modulator's, via ``_preamble_phase_step``).
     Pass ``0.0`` for gr-lora_sdr transmitters — same contract as
     ``stream.frame_demodulate``.
+
+    ``with_spectra=True`` additionally returns the per-frame payload
+    spectra ``[..., K, n_payload, n]`` in TRUE bin order, row-aligned
+    with ``BlockFrames.symbols`` (``argmax(spectra) == symbols``): the
+    soft-decision input (models/soft.py, gr_interop.decode_bins
+    ``mag2=``). |DFT|² in the default modes; the noncoherent combining
+    scores under ``pre_acc > 1`` (the statistic the decisions use).
+    Opt-in — materialising mesh-wide spectra costs bandwidth the
+    decision-only path deliberately avoids.
     """
     from ..ops.planar import demodulate_planar, dechirp_planar
     from .stream import frame_overhead_samples
@@ -627,7 +649,8 @@ def receive_block_planar(xr, xi, params: LoraParams,
         return _receive_block_circular(xr, xi, params, n_payload_symbols,
                                        max_frames, preamble_len,
                                        start, cfo_bins, found,
-                                       tx_phase_step=tx_phase_step)
+                                       tx_phase_step=tx_phase_step,
+                                       with_spectra=with_spectra)
 
     # --- window extraction: row gather + barrel shift -------------------
     # Per-frame ``dynamic_slice`` costs ~5 us EACH on this chip
@@ -900,9 +923,13 @@ def receive_block_planar(xr, xi, params: LoraParams,
 
     sro_ppm = estimate_sro_planar(yr[..., pre_len + 2 * step:],
                                   yi[..., pre_len + 2 * step:], params)
-    return BlockFrames(found, start, cfo_bins, syms, sync_word,
-                       cfo, time_offset, snr_db.astype(jnp.float32),
-                       sro_ppm)
+    blk = BlockFrames(found, start, cfo_bins, syms, sync_word,
+                      cfo, time_offset, snr_db.astype(jnp.float32),
+                      sro_ppm)
+    if with_spectra:
+        # already TRUE bin order on this path (decisions are its argmax)
+        return blk, mag2
+    return blk
 
 
 @partial(jax.jit, static_argnames=("params", "stride"))
@@ -1033,14 +1060,16 @@ def blind_frames(results) -> list[dict]:
 @partial(jax.jit, static_argnames=("k", "params", "n_payload_symbols",
                                    "max_frames", "preamble_len",
                                    "taps_per_branch", "min_power_db",
-                                   "pre_acc", "tx_phase_step"))
+                                   "pre_acc", "tx_phase_step",
+                                   "with_spectra"))
 def receive_wideband_planar(xr, xi, k: int, params: LoraParams,
                             n_payload_symbols: int, max_frames: int = 4,
                             preamble_len: int = 8,
                             taps_per_branch: int = 7,
                             min_power_db: float | None = -30.0,
                             pre_acc: int = 1,
-                            tx_phase_step: float | None = None) -> BlockFrames:
+                            tx_phase_step: float | None = None,
+                            with_spectra: bool = False) -> BlockFrames:
     """One-call wideband receiver, fully on-device: polyphase-channelize a
     ``[..., T]`` wideband stream into ``k`` sub-channels and run the
     batched block receiver on every channel in the same program.
@@ -1054,4 +1083,5 @@ def receive_wideband_planar(xr, xi, k: int, params: LoraParams,
     return receive_block_planar(cr, ci, params, n_payload_symbols,
                                 max_frames, preamble_len,
                                 min_power_db=min_power_db, pre_acc=pre_acc,
-                                tx_phase_step=tx_phase_step)
+                                tx_phase_step=tx_phase_step,
+                                with_spectra=with_spectra)

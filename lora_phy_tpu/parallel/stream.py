@@ -287,7 +287,8 @@ def demodulate_stream(samples, params: LoraParams, mesh: Mesh,
 def _receive_block_local(xr, xi, params: LoraParams, n_payload_symbols: int,
                          max_frames: int, preamble_len: int,
                          min_power_db, pre_acc: int, halo_steps: int,
-                         time_axis: str):
+                         time_axis: str, tx_phase_step=None,
+                         with_spectra: bool = False):
     """Per-shard body: raw-stream frame scan + demod over the local block
     extended by a frame-length RIGHT halo.
 
@@ -315,10 +316,12 @@ def _receive_block_local(xr, xi, params: LoraParams, n_payload_symbols: int,
     right_halo = jnp.where(t_idx == t_size - 1, 0.0, right_halo)
     ext = jnp.concatenate([planes, right_halo], axis=-1)
 
-    blk = receive_block_planar(
+    res = receive_block_planar(
         ext[0], ext[1], params, n_payload_symbols, max_frames,
         preamble_len, min_power_db=min_power_db, pre_acc=pre_acc,
+        tx_phase_step=tx_phase_step, with_spectra=with_spectra,
     )
+    blk, spectra = res if with_spectra else (res, None)
     # claim: start in [0, L) — receive_block_planar already enforces
     # start >= 0 (negative-start aliases the left neighbour owns)
     found = blk.found & (blk.start < L)
@@ -331,8 +334,9 @@ def _receive_block_local(xr, xi, params: LoraParams, n_payload_symbols: int,
     overhead = frame_overhead_samples(params, preamble_len)
     g_end = g_start + overhead + n_payload_symbols * step
     found = found & (g_end <= t_size * L)
-    return (found, g_start, blk.cfo_bins, blk.symbols, blk.sync,
-            blk.cfo, blk.time_offset, blk.snr_db, blk.sro_ppm)
+    out = (found, g_start, blk.cfo_bins, blk.symbols, blk.sync,
+           blk.cfo, blk.time_offset, blk.snr_db, blk.sro_ppm)
+    return out + (spectra,) if with_spectra else out
 
 
 def _halo_steps(params: LoraParams, n_payload_symbols: int,
@@ -346,13 +350,16 @@ def _halo_steps(params: LoraParams, n_payload_symbols: int,
 
 @partial(jax.jit, static_argnames=("params", "n_payload_symbols", "mesh",
                                    "max_frames", "preamble_len",
-                                   "min_power_db", "pre_acc"))
+                                   "min_power_db", "pre_acc",
+                                   "tx_phase_step", "with_spectra"))
 def receive_stream_block_planar(xr, xi, params: LoraParams,
                                 n_payload_symbols: int, mesh: Mesh,
                                 max_frames: int = 4,
                                 preamble_len: int = 8,
                                 min_power_db: float | None = None,
-                                pre_acc: int = 1) -> BlockFrames:
+                                pre_acc: int = 1,
+                                tx_phase_step: float | None = None,
+                                with_spectra: bool = False) -> BlockFrames:
     """Mesh-sharded raw-stream receiver: the full frame-sync scan +
     candidate selection + SFD probe + demod of ``models.sync.
     receive_block_planar`` under ``shard_map`` over ``(channel, time)``.
@@ -369,6 +376,15 @@ def receive_stream_block_planar(xr, xi, params: LoraParams,
 
     Equality with the single-device block receiver for frames placed
     across every seam is gated by tests/test_parallel.py.
+
+    ``with_spectra=True`` returns ``(BlockFrames, spectra)`` with
+    per-frame payload spectra ``[..., n_time * K, n_payload, n]`` in
+    true bin order (the soft-decision input; see the single-device
+    docstring), sharded like the other per-candidate outputs.
+    ``tx_phase_step=0.0`` for gr-lora_sdr transmitters — both knobs are
+    straight passthroughs to the per-shard block receiver, so soft
+    decoding and pre_acc>1 multipath-robust receive compose with the
+    mesh exactly as on one device.
     """
     step = params.step
     # the gathered candidate buffer reaches nwin_f = win//step + 4 windows
@@ -384,27 +400,34 @@ def receive_stream_block_planar(xr, xi, params: LoraParams,
             "or longer blocks (the halo comes from the immediate "
             "neighbour only)")
 
+    out_specs = (
+        P(CHANNEL_AXIS, TIME_AXIS),          # found
+        P(CHANNEL_AXIS, TIME_AXIS),          # start (global samples)
+        P(CHANNEL_AXIS, TIME_AXIS),          # cfo_bins
+        P(CHANNEL_AXIS, TIME_AXIS, None),    # symbols
+        P(CHANNEL_AXIS, TIME_AXIS),          # sync
+        P(CHANNEL_AXIS, TIME_AXIS),          # cfo
+        P(CHANNEL_AXIS, TIME_AXIS),          # time_offset
+        P(CHANNEL_AXIS, TIME_AXIS),          # snr_db
+        P(CHANNEL_AXIS, TIME_AXIS),          # sro_ppm
+    )
+    if with_spectra:
+        out_specs = out_specs + (P(CHANNEL_AXIS, TIME_AXIS, None, None),)
     fn = shard_map(
         partial(_receive_block_local, params=params,
                 n_payload_symbols=n_payload_symbols, max_frames=max_frames,
                 preamble_len=preamble_len, min_power_db=min_power_db,
                 pre_acc=pre_acc, halo_steps=halo_steps,
-                time_axis=TIME_AXIS),
+                time_axis=TIME_AXIS, tx_phase_step=tx_phase_step,
+                with_spectra=with_spectra),
         mesh=mesh,
         in_specs=(P(CHANNEL_AXIS, TIME_AXIS), P(CHANNEL_AXIS, TIME_AXIS)),
-        out_specs=(
-            P(CHANNEL_AXIS, TIME_AXIS),          # found
-            P(CHANNEL_AXIS, TIME_AXIS),          # start (global samples)
-            P(CHANNEL_AXIS, TIME_AXIS),          # cfo_bins
-            P(CHANNEL_AXIS, TIME_AXIS, None),    # symbols
-            P(CHANNEL_AXIS, TIME_AXIS),          # sync
-            P(CHANNEL_AXIS, TIME_AXIS),          # cfo
-            P(CHANNEL_AXIS, TIME_AXIS),          # time_offset
-            P(CHANNEL_AXIS, TIME_AXIS),          # snr_db
-            P(CHANNEL_AXIS, TIME_AXIS),          # sro_ppm
-        ),
+        out_specs=out_specs,
     )
-    return BlockFrames(*fn(xr, xi))
+    res = fn(xr, xi)
+    if with_spectra:
+        return BlockFrames(*res[:-1]), res[-1]
+    return BlockFrames(*res)
 
 
 def receive_blind_stream_planar(xr, xi, base_params: LoraParams,

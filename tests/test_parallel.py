@@ -304,6 +304,137 @@ def test_blind_sf_receive_on_mesh(devices):
         [(r["sf"], r["index"], r["start"], r["sync"]) for r in ref_rows]
 
 
+def test_soft_decode_on_mesh_spectra(devices):
+    """Soft-decision decode on the mesh (VERDICT r4 #3a): the sharded
+    block receiver returns per-frame payload spectra in true bin order
+    (``with_spectra=True``), seam-straddling coded frames soft-decode
+    from them (ML codeword correlation, models/soft.py), and the mesh
+    spectra equal the single-device receiver's bit-exactly."""
+    from lora_phy_tpu.models import coded, stream as streammod
+    from lora_phy_tpu.models import soft as softmod, sync as syncmod
+    from lora_phy_tpu.parallel.stream import receive_stream_block_planar
+
+    p = LoraParams(sf=7)
+    m = meshlib.make_mesh(n_channel=4, n_time=2, devices=devices)
+    cfg = coded.CodedConfig(sf=7, cr=4, crc=True)
+    pls = [b"soft mesh %d" % c for c in range(4)]
+    nsym = coded.payload_symbol_count(len(pls[0]), cfg)
+    n_pay = 8 + nsym
+    frame_len = streammod.frame_overhead_samples(p) + n_pay * p.step
+    block = 8192
+    total = 2 * block
+    rng = np.random.RandomState(7)
+    xr = np.zeros((4, total), np.float32)
+    xi = np.zeros((4, total), np.float32)
+    offs = []
+    for c in range(4):
+        iq = np.asarray(streammod.frame_encode(
+            np.frombuffer(pls[c], np.uint8), cfg, p))
+        off = block - frame_len // 2 + 31 * c        # straddle the seam
+        xr[c, off: off + iq.size] = iq.real
+        xi[c, off: off + iq.size] = iq.imag
+        offs.append(off)
+    xr += rng.randn(4, total).astype(np.float32) * 0.18
+    xi += rng.randn(4, total).astype(np.float32) * 0.18
+
+    sh = meshlib.stream_sharding(m)
+    blk, spec = receive_stream_block_planar(
+        jax.device_put(xr, sh), jax.device_put(xi, sh), p, n_pay, m,
+        max_frames=2, min_power_db=-30.0, with_spectra=True)
+    found = np.asarray(blk.found)
+    starts = np.asarray(blk.start)
+    spec = np.asarray(spec)
+    symbols = np.asarray(blk.symbols)
+    for c in range(4):
+        ks = np.flatnonzero(found[c])
+        assert ks.size == 1
+        k = int(ks[0])
+        assert starts[c, k] == offs[c]
+        # spectra are decision-consistent (true bin order)
+        np.testing.assert_array_equal(
+            np.argmax(spec[c, k], axis=-1), symbols[c, k])
+        nb, cr, crc_en, hok = coded.decode_header(symbols[c, k, :8], p.sf)
+        assert hok and nb == len(pls[c]) and cr == 4
+        pay, crc_ok, _ = softmod.decode_payload_soft(
+            spec[c, k, 8: 8 + nsym], nb, cfg)
+        assert bool(np.asarray(crc_ok))
+        assert np.asarray(pay).tobytes() == pls[c]
+
+    # mesh spectra == single-device spectra, bit-exact, frame-matched
+    ref, ref_spec = syncmod.receive_block_planar(
+        xr, xi, p, n_pay, max_frames=4, min_power_db=-30.0,
+        with_spectra=True)
+    rfound = np.asarray(ref.found)
+    rstart = np.asarray(ref.start)
+    ref_spec = np.asarray(ref_spec)
+    for c in range(4):
+        k = int(np.flatnonzero(found[c])[0])
+        rk = [int(j) for j in np.flatnonzero(rfound[c])
+              if rstart[c, j] == starts[c, k]]
+        assert rk, "single-device receiver missed the mesh frame"
+        np.testing.assert_array_equal(spec[c, k], ref_spec[c, rk[0]])
+
+
+def test_robust_receive_on_mesh(devices):
+    """Multipath-robust receive (pre_acc=3) on the mesh (VERDICT r4 #3b):
+    a two-ray 0.95@3 channel with seam-straddling frames decodes through
+    the sharded accumulated-spectrum scan + noncoherent combining path,
+    identically to the single-device robust receiver."""
+    from lora_phy_tpu.models import stream as streammod, sync as syncmod
+    from lora_phy_tpu.ops import impair
+    from lora_phy_tpu.parallel.stream import receive_stream_block_planar
+
+    p = LoraParams(sf=7)
+    m = meshlib.make_mesh(n_channel=4, n_time=2, devices=devices)
+    block = 8192
+    total = 2 * block
+    rng = np.random.RandomState(5)
+    pls = (np.arange(6, dtype=np.uint8)[None, :]
+           + np.arange(4, dtype=np.uint8)[:, None])
+    syms = modem.encode(pls)
+    n_pay = syms.shape[-1]
+    fr, fi = streammod.frame_modulate_planar(np.asarray(syms, np.int32), p)
+    fl = fr.shape[-1]
+    yr = np.zeros((4, total), np.float32)
+    yi = np.zeros((4, total), np.float32)
+    offs = []
+    for c in range(4):
+        off = block - fl // 2 + 17 * c               # straddle the seam
+        yr[c, off: off + fl] = np.asarray(fr[c])
+        yi[c, off: off + fl] = np.asarray(fi[c])
+        offs.append(off)
+    taps_re = np.zeros(4, np.float32)
+    taps_re[0], taps_re[3] = 1.0, 0.95               # two-ray 0.95@3
+    yr, yi = impair.apply_multipath_planar(yr, yi, taps_re,
+                                           np.zeros(4, np.float32))
+    yr = np.asarray(yr) + rng.randn(4, total).astype(np.float32) * 0.05
+    yi = np.asarray(yi) + rng.randn(4, total).astype(np.float32) * 0.05
+
+    sh = meshlib.stream_sharding(m)
+    blk = receive_stream_block_planar(
+        jax.device_put(yr, sh), jax.device_put(yi, sh), p, n_pay, m,
+        max_frames=2, min_power_db=-30.0, pre_acc=3)
+    found = np.asarray(blk.found)
+    starts = np.asarray(blk.start)
+    ref = syncmod.receive_block_planar(
+        yr, yi, p, n_pay, max_frames=4, min_power_db=-30.0, pre_acc=3)
+    rfound = np.asarray(ref.found)
+    rstart = np.asarray(ref.start)
+    for c in range(4):
+        ks = [int(k) for k in np.flatnonzero(found[c])
+              if abs(int(starts[c, k]) - offs[c]) <= p.step]
+        assert ks, (c, starts[c][np.flatnonzero(found[c])], offs[c])
+        dec = np.asarray(modem.decode(np.asarray(blk.symbols)[c, ks[0]]))
+        np.testing.assert_array_equal(dec, pls[c])
+        # mesh == single-device robust receiver, frame-matched
+        rk = [int(j) for j in np.flatnonzero(rfound[c])
+              if rstart[c, j] == starts[c, ks[0]]]
+        assert rk, "single-device robust receiver missed the mesh frame"
+        np.testing.assert_array_equal(
+            np.asarray(blk.symbols)[c, ks[0]],
+            np.asarray(ref.symbols)[c, rk[0]])
+
+
 def test_adaptive_receive_on_mesh(devices):
     """Header-driven adaptive receive on the mesh: self-describing frames
     of DIFFERENT payload lengths (one straddling the time-shard seam) are

@@ -723,3 +723,43 @@ def test_circular_extraction_matches_barrel_path(monkeypatch):
                                np.asarray(slow.snr_db)[f0], atol=0.1)
     np.testing.assert_allclose(np.asarray(fast.sro_ppm)[f0],
                                np.asarray(slow.sro_ppm)[f0], atol=0.5)
+
+
+@pytest.mark.parametrize("osr", [1, 2])
+def test_block_receive_with_spectra_decision_consistent(osr):
+    """``with_spectra=True`` returns payload spectra in TRUE bin order on
+    both extraction paths (circular osr=1, barrel osr=2): the spectra's
+    argmax equals the reported symbols, and the BlockFrames outputs are
+    identical to the decision-only call."""
+    import dataclasses
+
+    p = dataclasses.replace(LoraParams(sf=7), osr=osr)
+    rng = np.random.RandomState(9)
+    payload = rng.randint(0, 256, 5).astype(np.uint8)
+    syms = modem.encode(payload)
+    n_pay = syms.shape[-1]
+    fr, fi = stream.frame_modulate_planar(np.asarray(syms, np.int32), p)
+    total = 8192 * osr
+    off = 517 * osr                     # non-grid arrival: q != 0
+    xr = np.zeros(total, np.float32)
+    xi = np.zeros(total, np.float32)
+    xr[off: off + fr.shape[-1]] = np.asarray(fr)
+    xi[off: off + fi.shape[-1]] = np.asarray(fi)
+    xr += rng.randn(total).astype(np.float32) * 0.05
+    xi += rng.randn(total).astype(np.float32) * 0.05
+
+    blk, spec = sync.receive_block_planar(xr, xi, p, n_pay, max_frames=2,
+                                          with_spectra=True)
+    plain = sync.receive_block_planar(xr, xi, p, n_pay, max_frames=2)
+    np.testing.assert_array_equal(np.asarray(blk.found),
+                                  np.asarray(plain.found))
+    np.testing.assert_array_equal(np.asarray(blk.symbols),
+                                  np.asarray(plain.symbols))
+    k = int(np.flatnonzero(np.asarray(blk.found))[0])
+    assert int(np.asarray(blk.start)[k]) == off
+    sp = np.asarray(spec)[k]
+    assert sp.shape == (n_pay, p.n)
+    np.testing.assert_array_equal(np.argmax(sp, axis=-1),
+                                  np.asarray(blk.symbols)[k])
+    np.testing.assert_array_equal(
+        np.asarray(modem.decode(np.asarray(blk.symbols)[k])), payload)
