@@ -479,6 +479,151 @@ def receive_blind_stream_planar(xr, xi, base_params: LoraParams,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Checkpoint/resume for the sharded streaming receiver (SURVEY.md §5.4
+# applied to the flagship mesh layout; the host-side twin is
+# models/stream.py StreamState/BatchStreamDemodulator)
+# ---------------------------------------------------------------------------
+
+from typing import NamedTuple
+
+
+class MeshStreamState(NamedTuple):
+    """Carry state of :class:`MeshStreamDemodulator` — an explicit,
+    serialisable pytree, so a time/channel-sharded gateway can stop at
+    any block boundary and resume bit-exactly (no frame lost at a
+    restart, including frames straddling the checkpoint boundary)."""
+
+    tail_re: np.ndarray        # [channels, keep] carried stream tail
+    tail_im: np.ndarray        # [channels, keep]
+    consumed: int              # absolute sample index of the tail start
+    emitted_start: np.ndarray  # [channels] int64: last emitted frame start
+    n_frames: int              # frames emitted so far (observability)
+
+
+class MeshStreamDemodulator:
+    """Block-wise continuous-stream frame receiver on a ``(channel,
+    time)`` mesh: every fed block rides ONE
+    :func:`receive_stream_block_planar` program (sharded scan + seam
+    halos + demod), and the host carries only a fixed-length stream tail
+    plus per-channel dedupe marks between blocks.
+
+    The tail is one frame + probe margin long (rounded up to the mesh
+    time-axis granularity), so a frame straddling any block boundary is
+    re-seen whole in the next call; frames re-found inside the carried
+    tail are deduped by their absolute start (per channel, monotone —
+    frames are emitted in stream order). Fixed block size + fixed tail
+    means ONE compiled program in steady state.
+
+    ``max_frames`` is the per-TIME-SHARD candidate cap (the sharded
+    receiver's contract); a channel carrying more than ``max_frames``
+    frames inside one shard-block drops the excess — size the cap to
+    the expected duty cycle, as with the single-device receiver.
+    """
+
+    def __init__(self, params: LoraParams, n_payload_symbols: int,
+                 mesh: Mesh, max_frames: int = 4, preamble_len: int = 8,
+                 min_power_db: float | None = -30.0, pre_acc: int = 1,
+                 tx_phase_step: float | None = None):
+        self.params = params
+        self.n_payload_symbols = n_payload_symbols
+        self.mesh = mesh
+        self.max_frames = max_frames
+        self.preamble_len = preamble_len
+        self.min_power_db = min_power_db
+        self.pre_acc = pre_acc
+        self.tx_phase_step = tx_phase_step
+        self.t_size = mesh.shape[TIME_AXIS]
+        self.unit = self.t_size * params.step    # fed-block granularity
+        halo = _halo_steps(params, n_payload_symbols,
+                           preamble_len) * params.step
+        self.halo = halo
+        self.keep = -(-halo // self.unit) * self.unit
+
+    def init_state(self, n_channels: int) -> MeshStreamState:
+        z = np.zeros((n_channels, self.keep), np.float32)
+        return MeshStreamState(z, z.copy(), -self.keep,
+                               np.full(n_channels, -1, np.int64), 0)
+
+    def process(self, state: MeshStreamState, block_re, block_im):
+        """Feed one ``[channels, B]`` block (``B`` a fixed multiple of
+        ``t_size * step``). Returns ``(new_state, frames)`` where
+        ``frames`` is a list of dicts ``{channel, start, symbols, sync,
+        cfo_bins, cfo, snr_db, sro_ppm}`` with ``start`` in ABSOLUTE
+        stream samples, in (channel, start) order."""
+        from .mesh import stream_sharding
+
+        block_re = np.asarray(block_re, np.float32)
+        block_im = np.asarray(block_im, np.float32)
+        b = block_re.shape[-1]
+        if b % self.unit:
+            raise ValueError(
+                f"block length {b} must be a multiple of time_shards * "
+                f"step = {self.unit}")
+        if (self.keep + b) // self.t_size < self.halo:
+            raise ValueError(
+                f"block of {b} samples gives per-shard blocks of "
+                f"{(self.keep + b) // self.t_size} < frame+margin halo "
+                f"{self.halo}; feed at least "
+                f"{self.halo * self.t_size - self.keep} samples per block")
+        buf_r = np.concatenate([state.tail_re, block_re], axis=-1)
+        buf_i = np.concatenate([state.tail_im, block_im], axis=-1)
+        sh = stream_sharding(self.mesh)
+        blk = receive_stream_block_planar(
+            jax.device_put(buf_r, sh), jax.device_put(buf_i, sh),
+            self.params, self.n_payload_symbols, self.mesh,
+            self.max_frames, self.preamble_len, self.min_power_db,
+            pre_acc=self.pre_acc, tx_phase_step=self.tx_phase_step)
+        found = np.asarray(blk.found)
+        starts = np.asarray(blk.start)
+        emitted = state.emitted_start.copy()
+        frames = []
+        n = state.n_frames
+        for c in range(found.shape[0]):
+            order = sorted(np.flatnonzero(found[c]),
+                           key=lambda k: int(starts[c, k]))
+            for k in order:
+                abs_start = state.consumed + int(starts[c, k])
+                if abs_start <= emitted[c]:
+                    continue            # re-found inside the carried tail
+                emitted[c] = abs_start
+                n += 1
+                frames.append({
+                    "channel": c, "start": abs_start,
+                    "symbols": np.asarray(blk.symbols)[c, k],
+                    "sync": int(np.asarray(blk.sync)[c, k]),
+                    "cfo_bins": int(np.asarray(blk.cfo_bins)[c, k]),
+                    "cfo": float(np.asarray(blk.cfo)[c, k]),
+                    "snr_db": float(np.asarray(blk.snr_db)[c, k]),
+                    "sro_ppm": float(np.asarray(blk.sro_ppm)[c, k]),
+                })
+        frames.sort(key=lambda r: (r["channel"], r["start"]))
+        new_state = MeshStreamState(
+            np.ascontiguousarray(buf_r[:, -self.keep:]),
+            np.ascontiguousarray(buf_i[:, -self.keep:]),
+            state.consumed + buf_r.shape[-1] - self.keep, emitted, n)
+        return new_state, frames
+
+
+def save_mesh_state(state: MeshStreamState, path) -> None:
+    """Persist a sharded-stream carry state. Writes to EXACTLY ``path``
+    (a bare np.savez(path) appends '.npz', breaking resume for any other
+    extension — models/stream.py save_state learned this the hard way)."""
+    with open(path, "wb") as f:
+        np.savez(f, tail_re=state.tail_re, tail_im=state.tail_im,
+                 consumed=np.int64(state.consumed),
+                 emitted_start=state.emitted_start.astype(np.int64),
+                 n_frames=np.int64(state.n_frames))
+
+
+def load_mesh_state(path) -> MeshStreamState:
+    z = np.load(path)
+    return MeshStreamState(
+        z["tail_re"].astype(np.float32), z["tail_im"].astype(np.float32),
+        int(z["consumed"]), z["emitted_start"].astype(np.int64),
+        int(z["n_frames"]))
+
+
 def receive_adaptive_stream_planar(xr, xi, params: LoraParams, mesh: Mesh,
                                    max_frames: int = 4,
                                    preamble_len: int = 8,

@@ -375,6 +375,85 @@ def test_soft_decode_on_mesh_spectra(devices):
         np.testing.assert_array_equal(spec[c, k], ref_spec[c, rk[0]])
 
 
+def test_mesh_stream_checkpoint_resume(devices, tmp_path):
+    """Sharded checkpoint/resume (VERDICT r4 #4): the time/channel-
+    sharded streaming receiver processes consecutive blocks with a
+    carried tail; stopping after block K (save_mesh_state) and resuming
+    in a FRESH demodulator (load_mesh_state) yields the identical frame
+    list — bit-exact symbols and observables — including a frame that
+    straddles the checkpoint boundary itself."""
+    from lora_phy_tpu.models import stream as streammod
+    from lora_phy_tpu.parallel.stream import (
+        MeshStreamDemodulator, load_mesh_state, save_mesh_state)
+
+    p = LoraParams(sf=7)
+    m = meshlib.make_mesh(n_channel=2, n_time=4, devices=devices)
+    n_pay = 8
+    frame_len = streammod.frame_overhead_samples(p) + n_pay * p.step
+    rx = MeshStreamDemodulator(p, n_pay, m, max_frames=2)
+    B = 16384                           # fed block size (multiple of unit)
+    n_blocks = 3
+    total = n_blocks * B
+    rng = np.random.RandomState(21)
+    xr = np.zeros((2, total), np.float32)
+    xi = np.zeros((2, total), np.float32)
+    placed = {0: {}, 1: {}}
+    for c in range(2):
+        # one frame per fed block interior + one straddling EVERY fed-
+        # block boundary (incl. the checkpoint boundary at block 1|2)
+        starts = [4000 + 37 * c + b * B for b in range(n_blocks)]
+        starts += [b * B - frame_len // 2 + 23 * c
+                   for b in range(1, n_blocks)]
+        for off in starts:
+            pl = rng.randint(0, 256, n_pay // 2).astype(np.uint8)
+            fr, fi = streammod.frame_modulate_planar(
+                np.asarray(modem.encode(pl), np.int32), p)
+            xr[c, off: off + frame_len] = np.asarray(fr)
+            xi[c, off: off + frame_len] = np.asarray(fi)
+            placed[c][off] = pl
+
+    def run(save_after=None):
+        state = rx.init_state(2)
+        out = []
+        for b in range(n_blocks):
+            if save_after is not None and b == save_after:
+                path = tmp_path / "mesh.ckpt"
+                save_mesh_state(state, path)
+                rx2 = MeshStreamDemodulator(p, n_pay, m, max_frames=2)
+                state = load_mesh_state(path)
+                new_state, frames = rx2.process(
+                    state, xr[:, b * B:(b + 1) * B], xi[:, b * B:(b + 1) * B])
+            else:
+                new_state, frames = rx.process(
+                    state, xr[:, b * B:(b + 1) * B], xi[:, b * B:(b + 1) * B])
+            state = new_state
+            out.extend(frames)
+        return out, state
+
+    cont, st_c = run()
+    resumed, st_r = run(save_after=1)
+
+    # every placed frame recovered exactly once, payloads decode
+    got = {(r["channel"], r["start"]) for r in cont}
+    want = {(c, off) for c in placed for off in placed[c]}
+    assert got == want, (got, want)
+    for r in cont:
+        dec = np.asarray(modem.decode(np.array(r["symbols"], np.uint16)))
+        np.testing.assert_array_equal(dec, placed[r["channel"]][r["start"]])
+
+    # resume == continuous, bit-exact
+    assert len(resumed) == len(cont)
+    for a, b in zip(cont, resumed):
+        assert a["channel"] == b["channel"] and a["start"] == b["start"]
+        np.testing.assert_array_equal(a["symbols"], b["symbols"])
+        for key in ("sync", "cfo_bins", "cfo", "snr_db", "sro_ppm"):
+            assert a[key] == b[key], key
+    assert st_c.consumed == st_r.consumed
+    assert st_c.n_frames == st_r.n_frames == len(cont)
+    np.testing.assert_array_equal(st_c.emitted_start, st_r.emitted_start)
+    np.testing.assert_array_equal(st_c.tail_re, st_r.tail_re)
+
+
 def test_robust_receive_on_mesh(devices):
     """Multipath-robust receive (pre_acc=3) on the mesh (VERDICT r4 #3b):
     a two-ray 0.95@3 channel with seam-straddling frames decodes through
