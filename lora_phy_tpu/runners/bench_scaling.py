@@ -46,30 +46,36 @@ from ..utils.params import LoraParams
 from ._cli import parse_flags
 
 
-def _time_pair(fn_a, fn_b, iters: int, repeats: int = 3):
-    """Best-of-``repeats`` per-call time for two program variants, with
-    the batches INTERLEAVED (a, b, a, b, ...) so scheduler/turbo drift on
-    an oversubscribed host hits both variants alike — the pair is
-    differenced downstream (collective cost), so correlated noise matters
-    more than absolute noise."""
-    besties = []
+def _time_pair(fn_a, fn_b, iters: int, repeats: int = 7):
+    """Per-call times for two program variants over ``repeats`` batches,
+    with the batches INTERLEAVED (a, b, a, b, ...) so scheduler/turbo
+    drift on an oversubscribed host hits both variants alike. Returns
+    ``(fulls, stubs, diffs)`` — per-repeat lists; ``diffs`` pairs each
+    full batch with the stubbed batch measured NEXT TO IT, so the
+    collective-cost estimate is a paired difference (correlated noise
+    cancels) summarised downstream as a median with a spread, not a
+    min-of-independent-bests (which round 4 showed can go negative)."""
     for fn in (fn_a, fn_b):
         out = fn()
         np.asarray(out[0][0, :2])       # compile + completion barrier
-        besties.append(float("inf"))
+    fulls, stubs, diffs = [], [], []
     for _ in range(repeats):
-        for j, fn in enumerate((fn_a, fn_b)):
+        ts = []
+        for fn in (fn_a, fn_b):
             t0 = time.perf_counter()
             for _ in range(iters):
                 out = fn()
             np.asarray(out[0][0, :2])
-            besties[j] = min(besties[j], (time.perf_counter() - t0) / iters)
-    return besties[0], besties[1]
+            ts.append((time.perf_counter() - t0) / iters)
+        fulls.append(ts[0])
+        stubs.append(ts[1])
+        diffs.append(ts[0] - ts[1])
+    return fulls, stubs, diffs
 
 
 def measure(n_devices: int, params: LoraParams, payload_len: int,
             frames_per_device: int, mode: str, channels: int,
-            iters: int = 4) -> dict:
+            iters: int = 4, repeats: int = 7) -> dict:
     """One mesh point: build a (channel x time) mesh over ``n_devices``,
     run the planar sharded streaming demod with and without collectives,
     and verify the full run's decoded payloads bit-exactly."""
@@ -99,10 +105,16 @@ def measure(n_devices: int, params: LoraParams, payload_len: int,
     xr = jax.device_put(dr, sh)
     xi = jax.device_put(di, sh)
 
-    t_full, t_nocomm = _time_pair(
+    fulls, stubs, diffs = _time_pair(
         lambda: demodulate_stream_planar(xr, xi, params, m),
         lambda: demodulate_stream_planar(xr, xi, params, m, comm=False),
-        iters)
+        iters, repeats=repeats)
+    t_full = float(np.median(fulls))
+    t_nocomm = float(np.median(stubs))
+    d_med = float(np.median(diffs))
+    # robust sigma of the paired differences (IQR/1.349)
+    q1, q3 = np.percentile(diffs, [25, 75])
+    d_spread = float(q3 - q1) / 1.349
 
     # correctness of the timed program (full path only; comm=False is a
     # measurement stub, wrong at seams by design)
@@ -122,8 +134,17 @@ def measure(n_devices: int, params: LoraParams, payload_len: int,
         "samples_per_device": int(total // n_devices),
         "t_full_ms": round(t_full * 1e3, 3),
         "t_nocomm_ms": round(t_nocomm * 1e3, 3),
-        "collective_ms": round((t_full - t_nocomm) * 1e3, 3),
-        "collective_frac": round(max(0.0, 1.0 - t_nocomm / t_full), 4),
+        # median paired difference +- robust sigma — UNclamped: a value
+        # within its own spread means the collectives are below the
+        # measurement noise at this point (below_noise flags it), which
+        # is itself the honest answer for a devices=1 mesh whose only
+        # "collectives" are self-permutes
+        "collective_ms": round(d_med * 1e3, 3),
+        "collective_ms_spread": round(d_spread * 1e3, 3),
+        "collective_frac": round(d_med / t_full, 4),
+        "collective_frac_spread": round(d_spread / t_full, 4),
+        "below_noise": bool(abs(d_med) <= d_spread),
+        "repeats": repeats,
         "samples_per_s": total / t_full,
     }
 
@@ -138,6 +159,7 @@ def main(argv=None) -> int:
         "frames": (int, 32),
         "mode": (str, "weak"),
         "iters": (int, 4),
+        "repeats": (int, 7),
         "out": (str, "-"),
     })
     if flags["mode"] not in ("weak", "strong"):
@@ -162,7 +184,8 @@ def main(argv=None) -> int:
     base = None
     for c in counts:
         row = measure(c, params, flags["payload-bytes"], flags["frames"],
-                      flags["mode"], channels, flags["iters"])
+                      flags["mode"], channels, flags["iters"],
+                      flags["repeats"])
         if base is None:
             base = row
         if flags["mode"] == "weak":
@@ -178,8 +201,11 @@ def main(argv=None) -> int:
         print(
             f"devices={c} mesh={row['mesh']}: {row['t_full_ms']:.1f} ms "
             f"({row['samples_per_s']/1e6:.1f} Msamples/s aggregate), "
-            f"collectives {row['collective_ms']:.2f} ms "
-            f"({row['collective_frac']*100:.1f}%), "
+            f"collectives {row['collective_ms']:.2f}"
+            f"±{row['collective_ms_spread']:.2f} ms "
+            f"({row['collective_frac']*100:.1f}"
+            f"±{row['collective_frac_spread']*100:.1f}%"
+            f"{', below noise' if row['below_noise'] else ''}), "
             f"efficiency={row['efficiency']*100:.0f}%",
             file=sys.stderr,
         )
@@ -193,7 +219,14 @@ def main(argv=None) -> int:
         "virtual_mesh": platform == "cpu",
         "interpretation": (
             "collective_frac is the mesh program's own communication cost "
-            "and transfers to real hardware; wall-clock efficiency on a "
+            "(median paired full-minus-stubbed difference ± robust sigma "
+            "over repeats) and transfers to real hardware; a value within "
+            "its spread (below_noise) means collectives are unmeasurable "
+            "at that point — expected at devices=1, whose only "
+            "collectives are self-permutes. collective_frac need not be "
+            "monotone in device count: the halo/psum pattern depends on "
+            "the time-axis length, not the device count (a 4x2 and 8x1 "
+            "mesh run different programs). Wall-clock efficiency on a "
             "virtual CPU mesh is bounded by host_cores shared across all "
             "virtual devices and is NOT a hardware claim"
             if platform == "cpu" else
