@@ -424,6 +424,66 @@ def main() -> None:
     except Exception as e:
         log(f"AWGN MC skipped: {e}")
 
+    # --- secondary: single-frame end-to-end receive LATENCY --------------
+    # The reference's pps metric at packets=1 is implicitly a latency
+    # metric (tests/performance_test.cpp:106-133); the gateway question
+    # it answers is "how long from last sample in to payload out for ONE
+    # frame". Timed per call (no batch amortisation): scan + SFD probe +
+    # demod (receive_block_planar, 1 frame) + d2h symbol readout + host
+    # decode. On this tunnel the d2h readout rides a ~25 ms relay
+    # roundtrip that real hardware doesn't have — reported separately
+    # (latency_*_readout_ms) so both numbers are explicit.
+    lat_ms = {}
+    try:
+        from lora_phy_tpu.models import stream as streammod
+
+        for sf in (7, 12):
+            pL = LoraParams(sf=sf)
+            pl1 = payloads[0][:8]
+            n_pay1 = pl1.size * 2
+            syms1 = modem.encode(pl1)
+            fr1, fi1 = streammod.frame_modulate_planar(
+                jnp.asarray(syms1, jnp.int32), pL)
+            fl1 = fr1.shape[-1]
+            off1 = 2 * pL.step
+            T1 = off1 + fl1 + 6 * pL.step
+            b1r = jnp.zeros(T1, jnp.float32).at[off1: off1 + fl1].set(fr1)
+            b1i = jnp.zeros(T1, jnp.float32).at[off1: off1 + fl1].set(fi1)
+            b1r = jax.device_put(np.asarray(b1r), dev)
+            b1i = jax.device_put(np.asarray(b1i), dev)
+
+            @jax.jit
+            def rx1(r, i, _p=pL, _n=n_pay1):
+                return syncmod.receive_block_planar(r, i, _p, _n,
+                                                    max_frames=1)
+
+            blk1 = rx1(b1r, b1i)
+            s_row = np.asarray(blk1.symbols[0])          # warm d2h path
+            with jax.default_device(cpu):
+                dec1 = np.asarray(modem.decode(s_row))
+            assert np.array_equal(dec1, pl1), f"latency SF{sf} decode"
+            # readout-only roundtrip (already-computed buffer): the
+            # relay tax to subtract for the hardware-transferable number
+            n_lat = 8
+            t0 = time.perf_counter()
+            for _ in range(n_lat):
+                np.asarray(blk1.symbols[0])
+            t_read = (time.perf_counter() - t0) / n_lat
+            t0 = time.perf_counter()
+            for _ in range(n_lat):
+                blk1 = rx1(b1r, b1i)
+                s_row = np.asarray(blk1.symbols[0])      # the barrier
+                with jax.default_device(cpu):
+                    modem.decode(s_row)
+            t_lat = (time.perf_counter() - t0) / n_lat
+            lat_ms[sf] = (round(t_lat * 1e3, 2), round(t_read * 1e3, 2))
+            log(f"latency SF{sf}: {t_lat*1e3:.2f} ms/frame end-to-end "
+                f"(of which d2h readout {t_read*1e3:.2f} ms)")
+    except AssertionError:
+        raise
+    except Exception as e:
+        log(f"latency stage skipped: {e}")
+
     # --- regression gate -------------------------------------------------
     regressed = False
     if BASELINE_FILE.exists() and platform != "cpu":
@@ -447,6 +507,16 @@ def main() -> None:
                 regressed = True
                 log(f"REGRESSION: {key} {val:.3f} < 0.85x baseline "
                     f"{base[key]:.3f} (logs/bench_baseline.json)")
+        # latency gates are inverted (lower is better): regress when a
+        # latency exceeds its recorded baseline by >1/0.85x
+        for sf in (7, 12):
+            key = f"latency_sf{sf}_ms"
+            if sf in lat_ms and key in base:
+                ceil = base[key] / 0.85
+                if lat_ms[sf][0] > ceil:
+                    regressed = True
+                    log(f"REGRESSION: {key} {lat_ms[sf][0]:.2f} > "
+                        f"baseline {base[key]:.2f}/0.85")
 
     print(json.dumps({
         "metric": "demod_iq_throughput_sf7",
@@ -461,6 +531,10 @@ def main() -> None:
         "wideband_rx_gsps": (round(wideband_rx_gsps, 3)
                              if wideband_rx_gsps else None),
         "awgn_mpps": round(awgn_mpps, 3) if awgn_mpps else None,
+        "latency_sf7_ms": lat_ms.get(7, (None,))[0],
+        "latency_sf7_readout_ms": lat_ms.get(7, (None, None))[1],
+        "latency_sf12_ms": lat_ms.get(12, (None,))[0],
+        "latency_sf12_readout_ms": lat_ms.get(12, (None, None))[1],
         "regressed": regressed,
     }))
 
