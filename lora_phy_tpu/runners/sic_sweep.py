@@ -8,7 +8,8 @@ trial decodes the block twice — plain single-pass receive and the SIC
 loop — and scores exact weak-payload recovery. The CSV mirrors the AWGN
 sweep's committed-log pattern (logs/):
 
-    gap_db,trials,weak_plain,weak_sic,strong_sic
+    gap_db,trials,weak_plain,weak_sic,strong_sic + 95% Wilson interval
+    columns for the two weak-recovery rates
 
 Upstream has no counterpart (a collision simply loses the weaker frame);
 this sweep quantifies what peeling buys at each power gap.
@@ -52,7 +53,10 @@ def main(argv=None) -> int:
     off_a = 2 * p.step
     off_b = off_a + 5 * p.step                  # payloads overlap
 
-    rows = ["gap_db,trials,weak_plain,weak_sic,strong_sic"]
+    from ..utils.stats import wilson
+
+    rows = ["gap_db,trials,weak_plain,weak_sic,strong_sic,"
+            "plain_lo,plain_hi,sic_lo,sic_hi"]
     for gap in gaps:
         amp_b = 10.0 ** (-gap / 20.0)
         weak_plain = weak_sic = strong_sic = 0
@@ -92,8 +96,11 @@ def main(argv=None) -> int:
             weak_plain += w0
             weak_sic += w1
             strong_sic += s1
+        p_lo, p_hi = wilson(weak_plain, flags["trials"])
+        s_lo, s_hi = wilson(weak_sic, flags["trials"])
         rows.append(f"{gap:g},{flags['trials']},{weak_plain},"
-                    f"{weak_sic},{strong_sic}")
+                    f"{weak_sic},{strong_sic},"
+                    f"{p_lo:.4f},{p_hi:.4f},{s_lo:.4f},{s_hi:.4f}")
         print(rows[-1], file=sys.stderr, flush=True)
 
     text = "\n".join(rows) + "\n"

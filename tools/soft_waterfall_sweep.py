@@ -6,7 +6,8 @@ only remove errors).
     python tools/soft_waterfall_sweep.py [--frames=400] [--out=PATH]
            [--crs=1,4] [--snrs=-8,-9,-10,-11,-12,-13]
 
-CSV: ``cr,snr_db,frames,hard_lost,soft_lost``. Frame-aligned coded
+CSV: ``cr,snr_db,frames,hard_lost,soft_lost`` + 95% Wilson interval
+columns for both loss rates. Frame-aligned coded
 frames (no sync scan — that axis is characterised separately by
 tools/sync_sensitivity_sweep.py); the hard path is the production
 demodulate_planar argmax + coded.decode_payload, the soft path is
@@ -78,11 +79,17 @@ def main(argv=None) -> int:
             print(f"unknown flag {a}", file=sys.stderr)
             return 1
 
-    rows = ["cr,snr_db,frames,hard_lost,soft_lost"]
+    from lora_phy_tpu.utils.stats import wilson
+
+    rows = ["cr,snr_db,frames,hard_lost,soft_lost,"
+            "hard_lo,hard_hi,soft_lo,soft_hi"]
     for cr in crs:
         for snr in snrs:
             h, s = losses(cr, snr, frames)
-            rows.append(f"{cr},{snr},{frames},{h},{s}")
+            h_lo, h_hi = wilson(h, frames)
+            s_lo, s_hi = wilson(s, frames)
+            rows.append(f"{cr},{snr},{frames},{h},{s},"
+                        f"{h_lo:.4f},{h_hi:.4f},{s_lo:.4f},{s_hi:.4f}")
             print(rows[-1], file=sys.stderr, flush=True)
     pathlib.Path(out).write_text("\n".join(rows) + "\n")
     return 0
