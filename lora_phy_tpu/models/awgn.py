@@ -163,13 +163,37 @@ def write_csv(rows, path):
 # Planar Monte Carlo path (TPU-scale sweeps; no complex64 — CLAUDE.md)
 # ---------------------------------------------------------------------------
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _tone_tables(n: int):
+    """[n, n] cos/sin float32 tables of ``exp(j*2*pi*s*i/n)`` — one row
+    per symbol value; float64-built, so if anything CLOSER to the ideal
+    tone than on-device float32 cos/sin of a float32 phase product."""
+    k = np.arange(n, dtype=np.float64)
+    ang = (2.0 * np.pi / n) * np.outer(k, k)
+    return (np.cos(ang).astype(np.float32),
+            np.sin(ang).astype(np.float32))
+
 @partial(jax.jit, static_argnames=("sf", "cr", "packets", "payload_len"))
 def _simulate_point_planar(key, snr_db, sf: int, cr: str, packets: int,
                            payload_len: int):
     """Planar twin of :func:`_simulate_point`: same model, split re/im
     float32 arithmetic and the MXU DFT — runs on accelerators without
-    complex support and at TPU Monte Carlo scale."""
-    from ..ops.planar import detect_planar
+    complex support and at TPU Monte Carlo scale.
+
+    Two TPU reworks over the literal translation (round 5; same model,
+    same decisions): (a) the per-sample tone synthesis
+    ``exp(j*2*pi*sym*i/n)`` is a ROW GATHER from an [n, n] cos/sin
+    table pair (symbols live in [0, n); transcendentals were the TX
+    bottleneck on this chip — the pure-gather TX lesson, ops/chirp.py),
+    and (b) detection is decision-only ``argmax_bins_planar`` (combined-
+    matmul DFT + fused argmax) instead of the full ``detect_planar``
+    metric set, whose power/fIndex/peak-phase outputs this Monte Carlo
+    never reads but whose masked reductions cost several full-spectrum
+    passes."""
+    from ..ops.planar import argmax_bins_planar
     from ..ops.chirp import model_chirps_planar
 
     n = 1 << sf
@@ -184,9 +208,10 @@ def _simulate_point_planar(key, snr_db, sf: int, cr: str, packets: int,
     symbols = bits_to_symbols(tx_bits, sf)                  # [P, S]
     nbits = tx_bits.shape[-1]
 
-    idx = jnp.arange(n, dtype=jnp.float32)
-    ph = (2.0 * math.pi / n) * symbols.astype(jnp.float32)[..., None] * idx
-    c, s = jnp.cos(ph), jnp.sin(ph)
+    tc_np, ts_np = _tone_tables(n)
+    sym_i = symbols.astype(jnp.int32)
+    c = jnp.take(jnp.asarray(tc_np), sym_i, axis=0)         # [P, S, N]
+    s = jnp.take(jnp.asarray(ts_np), sym_i, axis=0)
     tx_re = up_re * c - up_im * s                           # [P, S, N]
     tx_im = up_re * s + up_im * c
 
@@ -198,8 +223,7 @@ def _simulate_point_planar(key, snr_db, sf: int, cr: str, packets: int,
     # dechirp by conj(up): (a+jb)(ur-jui) planar
     dr = rx_re * up_re + rx_im * up_im
     di = rx_im * up_re - rx_re * up_im
-    det = detect_planar(dr, di, n)
-    rx_bits = symbols_to_bits(det.index, sf, nbits)
+    rx_bits = symbols_to_bits(argmax_bins_planar(dr, di, n), sf, nbits)
     rx_payload = decode_payload_bits(rx_bits, cr, payload_len)
 
     diff = jnp.bitwise_xor(payload, rx_payload)
