@@ -220,6 +220,39 @@ def main() -> int:
     # interior frames (no clamp) must match g1 exactly
     np.testing.assert_array_equal(np.asarray(o5[0])[:, 2:6],
                                   np.asarray(o1[0])[:, 2:6])
+
+    # g6: row-grid no-pad slab gather — needs T % step == 0 (true at the
+    # bench workload), rows view is a free bitcast, starts clamped.
+    # Movement-only A/B against g2: the delta is exactly what the
+    # 2-window front pad + tail pad copy costs. (Correct edge semantics
+    # would additionally need zero rows + per-frame realignment — the
+    # probe quantifies whether that machinery could ever pay.)
+    assert T % step == 0, "bench workload must be step-aligned for g6"
+    n_rows = T // step
+
+    def g6(xr, xi):
+        st = jnp.clip(w0 - 1, 0, n_rows - nwin_g)
+
+        def slab_of(plane):
+            rows = plane.reshape(*lead, n_rows, step)
+            out = jax.lax.gather(
+                rows, st[..., None],
+                jax.lax.GatherDimensionNumbers(
+                    offset_dims=(2, 3),
+                    collapsed_slice_dims=(),
+                    start_index_map=(1,),
+                    operand_batching_dims=(0,),
+                    start_indices_batching_dims=(0,)),
+                slice_sizes=(1, nwin_g, step),
+                mode=jax.lax.GatherScatterMode.CLIP)
+            return out[..., 0, :, :] if out.ndim == 5 else out
+        return slab_of(xr), slab_of(xi)
+
+    j6 = jax.jit(g6)
+    o6, _ = timeit(lambda: j6(br, bi), lambda o: np.asarray(o[0][0, 0, 0, :2]),
+                   "g6 no-pad row slab gather (movement only)")
+    np.testing.assert_array_equal(np.asarray(o6[0])[:, 2:6],
+                                  np.asarray(o1[0])[:, 2:6])
     return 0
 
 
