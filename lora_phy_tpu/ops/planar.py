@@ -42,9 +42,9 @@ def _mm(a, b, mxu_dtype=None):
         a = a.astype(mxu_dtype)
         b = b.astype(mxu_dtype)
     elif a.dtype == jnp.bfloat16:
-        # bf16 operand from the stream-rotated fast path: keep it (the
-        # axon XLA pipeline demotes f32 dot operands to bf16 anyway —
-        # probe_demod_hlo r5); promoting would re-materialise f32
+        # bf16 operand: keep it (the axon XLA pipeline demotes f32 dot
+        # operands to bf16 anyway — probe_demod_hlo r5, logs/probe_r5/);
+        # promoting would re-materialise an f32 copy
         b = b.astype(jnp.bfloat16)
     return jnp.matmul(a, b, preferred_element_type=jnp.float32)
 
@@ -482,26 +482,17 @@ def demodulate_planar(xr, xi, params: LoraParams, fused: bool = False,
     if fused and precision != "f32":
         raise ValueError("the fused Mosaic kernel runs f32 only; "
                          "precision='bf16' requires fused=False")
-    if not fused and _window_table(params) is None:
-        # stream-rotated fast path: the CFO derotation is applied ONCE to
-        # the raw stream at the ABSOLUTE sample index (ramp
-        # exp(j*rate*t/osr)), which equals the per-window ramp
-        # exp(j*rate*i) times a per-window unimodular constant — invisible
-        # to every magnitude decision (same argument as
-        # _derotation_vector's dropped terms). The shift cond then
-        # consumes the already-rotated (and, on-chip, already-bf16)
-        # stream, deleting the separate [.., S, N] rotation pass and its
-        # f32 window copies: 30 -> ~21 GB of HBM traffic at the bench
-        # shape (probe_demod_hlo r5 pass table; README roofline).
-        yr, yi, cfo, time_offset = _demod_stage_stream_rotated(
-            xr, xi, params, assume_normalized, known_offsets)
-        syms = argmax_bins_planar(yr, yi, n, mxu_dtype=mxu_dtype)
-        syms = syms.astype(jnp.uint16)
-        shift = (params.sf - 4) if params.sf > 4 else 0
-        hi = (syms[..., 0].astype(jnp.int32) >> shift) & 0x0F
-        lo = (syms[..., 1].astype(jnp.int32) >> shift) & 0x0F
-        sync = ((hi << 4) | lo).astype(jnp.uint8)
-        return PlanarDemodResult(syms[..., 2:], sync, cfo, time_offset)
+    # NOTE (round-5 dead end, measured — don't redo): a "stream-rotated
+    # fast path" applying the CFO derotation ONCE to the raw stream at
+    # the absolute sample index (exp(j*rate*t/osr) == the per-window ramp
+    # times a magnitude-invariant per-window constant), with bf16 from
+    # the rotation onward, was fully built and chip-measured. SF7:
+    # EXACTLY 66.7 ms both programs — XLA re-inserts the frames-minor
+    # layout rotation as two explicit f32 stream copies when the cond no
+    # longer pays it (the {2,1,0}->{1,2,0} copy is load-bearing for the
+    # batched DFT dots; probe_demod_hlo r5, logs/probe_r5/). SF12
+    # REGRESSED 5.58 -> 4.70 Gsps. The committed pipeline's pass
+    # structure is layout-rotation-pinned; see README's pass table.
     yr, yi, rate, t_off, scale, cfo, time_offset = _demod_stage_planar(
         xr, xi, params, assume_normalized, known_offsets
     )
@@ -525,82 +516,6 @@ def demodulate_planar(xr, xi, params: LoraParams, fused: bool = False,
     lo = (syms[..., 1].astype(jnp.int32) >> shift) & 0x0F
     sync = ((hi << 4) | lo).astype(jnp.uint8)
     return PlanarDemodResult(syms[..., 2:], sync, cfo, time_offset)
-
-
-def _demod_stage_stream_rotated(xr, xi, params: LoraParams,
-                                assume_normalized, known_offsets,
-                                dec_phase: int = 0):
-    """Front of the rectangular-window demod fast path: normalisation
-    scan + offset estimate as in :func:`_demod_stage_planar`, but the
-    CFO derotation (with the scale folded in) is applied to the RAW
-    stream at the absolute sample index BEFORE the guarded shift.
-
-    Correctness: window sample ``i`` of any symbol window — shifted or
-    not — sits at stream index ``s*step + (t_off) + i*osr + dec_phase``,
-    so the global ramp ``exp(j*rate*t/osr)`` gives every window exactly
-    ``exp(j*rate*i)`` times a per-window unimodular constant, and the
-    magnitude-based detector is invariant to per-window constants
-    (src/phy/LoRaDemod.cpp:151-152 semantics; see _derotation_vector).
-    The rotated stream is cast to bf16 on non-CPU backends — the axon
-    XLA pipeline already demotes every DFT-dot operand to bf16
-    (probe_demod_hlo r5), so this quantisation point is the one the
-    chip already uses; it halves the shift cond's and the dot's HBM
-    traffic. CPU keeps f32 (test parity).
-
-    Returns ``(yr, yi, cfo, time_offset)`` with ``yr/yi`` the
-    [..., S, N] fully-rotated symbol windows, DFT-ready."""
-    n, osr, step = params.n, params.osr, params.step
-    total_symbols = xr.shape[-1] // step
-    if total_symbols < 2:
-        raise ValueError("need at least the 2 sync symbols")   # phy.hpp:186
-    sample_count = total_symbols * step
-    xr = xr[..., :sample_count]
-    xi = xi[..., :sample_count]
-
-    if not assume_normalized:
-        max_amp = jnp.maximum(
-            jnp.max(jnp.abs(xr), axis=-1), jnp.max(jnp.abs(xi), axis=-1)
-        )
-        scale = jnp.where(max_amp > 1.0, 1.0 / max_amp,
-                          1.0).astype(jnp.float32)
-    else:
-        scale = None
-
-    if known_offsets is None:
-        er = xr[..., : 2 * step]
-        ei = xi[..., : 2 * step]
-        if scale is not None:
-            er = er * scale[..., None]
-            ei = ei * scale[..., None]
-        cfo, time_offset = _estimate_planar(er, ei, n, osr, None)
-    else:
-        batch = xr.shape[:-1]
-        cfo = jnp.broadcast_to(
-            jnp.asarray(known_offsets[0], jnp.float32), batch)
-        time_offset = jnp.broadcast_to(
-            jnp.asarray(known_offsets[1], jnp.float32), batch)
-
-    t_off = _round_half_away(time_offset).astype(jnp.int32)
-    rate = (-jnp.float32(_TWO_PI) * cfo / jnp.float32(n)).astype(jnp.float32)
-
-    tt = jnp.arange(sample_count, dtype=jnp.float32)
-    phi = (rate / jnp.float32(osr))[..., None] * tt
-    c = jnp.cos(phi)
-    s = jnp.sin(phi)
-    if scale is not None:
-        c = c * scale[..., None]
-        s = s * scale[..., None]
-    rr = xr * c - xi * s
-    ri = xr * s + xi * c
-    if jax.default_backend() != "cpu":
-        rr = rr.astype(jnp.bfloat16)
-        ri = ri.astype(jnp.bfloat16)
-
-    from ..models.modem import _shifted_symbol_gather
-
-    yr = _shifted_symbol_gather(rr, total_symbols, n, osr, t_off, dec_phase)
-    yi = _shifted_symbol_gather(ri, total_symbols, n, osr, t_off, dec_phase)
-    return yr, yi, cfo, time_offset
 
 
 def _demod_stage_planar(xr, xi, params: LoraParams, assume_normalized,
