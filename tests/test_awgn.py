@@ -132,3 +132,19 @@ def test_per_zero_at_12db_all_crs(cr):
     awgn_sweep_gtest.cpp:55-105, extended to all CRs)."""
     pt = awgn.simulate(7, cr, 12.0, packets=50, payload_len=16, seed=4)
     assert pt.per == 0.0 and pt.ber == 0.0
+
+
+def test_wilson_interval_properties():
+    """Shared CI helper (utils/stats.py): bounds in [0,1], contains the
+    point estimate, shrinks with n, exact edge behaviour."""
+    from lora_phy_tpu.utils.stats import wilson
+
+    assert wilson(0, 0) == (0.0, 1.0)
+    lo, hi = wilson(0, 100)
+    assert lo == 0.0 and 0.0 < hi < 0.05
+    lo, hi = wilson(100, 100)
+    assert hi == 1.0 and 0.95 < lo < 1.0
+    lo1, hi1 = wilson(50, 100)
+    lo2, hi2 = wilson(500, 1000)
+    assert lo1 < 0.5 < hi1 and lo2 < 0.5 < hi2
+    assert (hi2 - lo2) < (hi1 - lo1)          # tighter at larger n
