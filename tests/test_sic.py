@@ -188,8 +188,9 @@ def test_sic_sweep_runner_smoke(tmp_path, capfd):
     assert sic_sweep.main(["--trials=2", "--gaps=9", f"--out={out}"]) == 0
     capfd.readouterr()
     lines = out.read_text().strip().splitlines()
-    assert lines[0] == "gap_db,trials,weak_plain,weak_sic,strong_sic"
-    gap, trials, wp, ws, ss = lines[1].split(",")
+    assert lines[0] == ("gap_db,trials,weak_plain,weak_sic,strong_sic,"
+                        "plain_lo,plain_hi,sic_lo,sic_hi")
+    gap, trials, wp, ws, ss = lines[1].split(",")[:5]
     assert (gap, trials) == ("9", "2")
     assert int(ws) >= int(wp) and int(ss) == 2
 
