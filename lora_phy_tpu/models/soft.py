@@ -65,11 +65,20 @@ def bin_llrs(mag2, ppm: int, shift: int, offset: int = 0):
 
     ``LLR_j = max_{bin: bit_j=1} |X| - max_{bin: bit_j=0} |X|`` — two
     masked max-reductions per bit over the spectrum magnitude (the
-    matched-filter statistic)."""
+    matched-filter statistic).
+
+    Inputs are clamped at zero before the sqrt: the block receiver's
+    ``with_spectra`` output under ``pre_acc > 1`` is the noncoherent
+    combining score (an IDFT correlation), whose near-zero bins can
+    round slightly negative in f32 — without the clamp a single such
+    bin poisons every masked max with NaN. Those scores are a
+    |DFT|⁴-scale statistic, so soft decoding on them is argmax-
+    consistent but its LLR magnitudes are distorted; the calibrated
+    soft path remains the default (pre_acc=1) |DFT|² spectra."""
     mag2 = jnp.asarray(mag2)
     n = mag2.shape[-1]
     masks = jnp.asarray(_bit_masks(n, ppm, shift, offset))
-    m = jnp.sqrt(mag2)[..., None, :]                      # [..., S, 1, N]
+    m = jnp.sqrt(jnp.maximum(mag2, 0.0))[..., None, :]    # [..., S, 1, N]
     one = jnp.max(jnp.where(masks, m, _NEG), axis=-1)     # [..., S, ppm]
     zero = jnp.max(jnp.where(~masks, m, _NEG), axis=-1)
     return (one - zero).astype(jnp.float32)

@@ -41,11 +41,6 @@ def _mm(a, b, mxu_dtype=None):
     if mxu_dtype is not None:
         a = a.astype(mxu_dtype)
         b = b.astype(mxu_dtype)
-    elif a.dtype == jnp.bfloat16:
-        # bf16 operand: keep it (the axon XLA pipeline demotes f32 dot
-        # operands to bf16 anyway — probe_demod_hlo r5, logs/probe_r5/);
-        # promoting would re-materialise an f32 copy
-        b = b.astype(jnp.bfloat16)
     return jnp.matmul(a, b, preferred_element_type=jnp.float32)
 
 

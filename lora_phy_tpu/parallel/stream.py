@@ -492,12 +492,19 @@ class MeshStreamState(NamedTuple):
     """Carry state of :class:`MeshStreamDemodulator` — an explicit,
     serialisable pytree, so a time/channel-sharded gateway can stop at
     any block boundary and resume bit-exactly (no frame lost at a
-    restart, including frames straddling the checkpoint boundary)."""
+    restart, including frames straddling the checkpoint boundary).
+
+    ``emitted_start`` holds the EXACT starts of recently emitted frames
+    (per channel, -1 padded, bounded by how many frames fit one carried
+    tail) rather than a monotone high-water mark: a frame the previous
+    block's ``max_frames`` cap dropped sits at an EARLIER start than
+    later frames that were emitted, and the tail re-scan must still be
+    allowed to emit it (a high-water dedupe would discard it forever)."""
 
     tail_re: np.ndarray        # [channels, keep] carried stream tail
     tail_im: np.ndarray        # [channels, keep]
     consumed: int              # absolute sample index of the tail start
-    emitted_start: np.ndarray  # [channels] int64: last emitted frame start
+    emitted_start: np.ndarray  # [channels, R] int64 recent starts, -1 pad
     n_frames: int              # frames emitted so far (observability)
 
 
@@ -539,11 +546,18 @@ class MeshStreamDemodulator:
                            preamble_len) * params.step
         self.halo = halo
         self.keep = -(-halo // self.unit) * self.unit
+        frame_len = (frame_overhead_samples(params, preamble_len)
+                     + n_payload_symbols * params.step)
+        # dedupe window: only frames STARTING inside the carried tail can
+        # be re-found next call; the preamble alone bounds their packing
+        self.n_recent = self.keep // (preamble_len * params.step) + 2
+        self.frame_len = frame_len
 
     def init_state(self, n_channels: int) -> MeshStreamState:
         z = np.zeros((n_channels, self.keep), np.float32)
-        return MeshStreamState(z, z.copy(), -self.keep,
-                               np.full(n_channels, -1, np.int64), 0)
+        return MeshStreamState(
+            z, z.copy(), -self.keep,
+            np.full((n_channels, self.n_recent), -1, np.int64), 0)
 
     def process(self, state: MeshStreamState, block_re, block_im):
         """Feed one ``[channels, B]`` block (``B`` a fixed multiple of
@@ -576,17 +590,19 @@ class MeshStreamDemodulator:
             pre_acc=self.pre_acc, tx_phase_step=self.tx_phase_step)
         found = np.asarray(blk.found)
         starts = np.asarray(blk.start)
-        emitted = state.emitted_start.copy()
         frames = []
         n = state.n_frames
+        new_consumed = state.consumed + buf_r.shape[-1] - self.keep
+        new_recent = np.full_like(state.emitted_start, -1)
         for c in range(found.shape[0]):
+            seen = set(int(s) for s in state.emitted_start[c] if s >= 0)
             order = sorted(np.flatnonzero(found[c]),
                            key=lambda k: int(starts[c, k]))
             for k in order:
                 abs_start = state.consumed + int(starts[c, k])
-                if abs_start <= emitted[c]:
+                if abs_start in seen:
                     continue            # re-found inside the carried tail
-                emitted[c] = abs_start
+                seen.add(abs_start)
                 n += 1
                 frames.append({
                     "channel": c, "start": abs_start,
@@ -597,11 +613,15 @@ class MeshStreamDemodulator:
                     "snr_db": float(np.asarray(blk.snr_db)[c, k]),
                     "sro_ppm": float(np.asarray(blk.sro_ppm)[c, k]),
                 })
+            # carry forward only the starts a tail re-scan could re-find
+            live = sorted(s for s in seen if s >= new_consumed)
+            live = live[-self.n_recent:]
+            new_recent[c, :len(live)] = live
         frames.sort(key=lambda r: (r["channel"], r["start"]))
         new_state = MeshStreamState(
             np.ascontiguousarray(buf_r[:, -self.keep:]),
             np.ascontiguousarray(buf_i[:, -self.keep:]),
-            state.consumed + buf_r.shape[-1] - self.keep, emitted, n)
+            new_consumed, new_recent, n)
         return new_state, frames
 
 

@@ -98,7 +98,15 @@ def main(argv=None) -> int:
         elif a == "--soft":
             soft = True
         elif a == "--tpu":
-            pass
+            # the backend pin is decided at IMPORT time from sys.argv
+            # (jax.config must run before any device op); a programmatic
+            # main(argv=[.., "--tpu"]) call cannot un-pin the CPU — fail
+            # loudly instead of silently measuring the wrong backend
+            if not _TPU:
+                print("--tpu must be on the COMMAND LINE (the backend "
+                      "pin happens at import time); got it via main(argv)"
+                      " after the CPU pin", file=sys.stderr)
+                return 1
         else:
             print(f"unknown flag {a}", file=sys.stderr)
             return 1
