@@ -153,3 +153,54 @@ def test_gr_soft_loopback_cells(sf, ldro, implicit):
                                         tx_phase_step=None, **kw)
         assert frame is not None, cr
         assert frame.payload == payload and frame.crc_ok, cr
+
+
+def test_soft_decode_composes_with_robust_spectra():
+    """pre_acc=3 ``with_spectra`` returns noncoherent-combining SCORES
+    whose near-zero bins can round negative in f32; the soft path must
+    clamp before its sqrt (a single negative bin used to poison every
+    masked max with NaN). Gate: a clean two-ray frame received in robust
+    mode soft-decodes from its returned scores, finite LLRs throughout."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from lora_phy_tpu.models import coded, stream, sync
+    from lora_phy_tpu.models import soft as softmod
+    from lora_phy_tpu.ops import impair
+    from lora_phy_tpu.utils.params import LoraParams
+
+    p = LoraParams(sf=7)
+    cfg = coded.CodedConfig(sf=7, cr=4, crc=True)
+    payload = b"robust+soft"
+    nsym = coded.payload_symbol_count(len(payload), cfg)
+    n_pay = 8 + nsym
+    iq = np.asarray(stream.frame_encode(
+        np.frombuffer(payload, np.uint8), cfg, p))
+    off = 3 * p.step
+    total = off + iq.size + 4 * p.step
+    xr = np.zeros(total, np.float32)
+    xi = np.zeros(total, np.float32)
+    xr[off: off + iq.size] = iq.real
+    xi[off: off + iq.size] = iq.imag
+    taps_re = np.zeros(4, np.float32)
+    taps_re[0], taps_re[3] = 1.0, 0.95
+    xr, xi = impair.apply_multipath_planar(xr, xi, taps_re,
+                                           np.zeros(4, np.float32))
+    rng = np.random.RandomState(2)
+    xr = np.asarray(xr) + rng.randn(total).astype(np.float32) * 0.05
+    xi = np.asarray(xi) + rng.randn(total).astype(np.float32) * 0.05
+
+    blk, spec = sync.receive_block_planar(
+        xr, xi, p, n_pay, max_frames=2, min_power_db=-30.0, pre_acc=3,
+        with_spectra=True)
+    ks = [int(k) for k in np.flatnonzero(np.asarray(blk.found))
+          if abs(int(np.asarray(blk.start)[k]) - off) <= p.step]
+    assert ks, "robust sync failed on clean two-ray frame"
+    rows = np.asarray(spec)[ks[0], 8: 8 + nsym]
+    llrs = np.asarray(softmod.symbol_llrs(rows, cfg))
+    assert np.isfinite(llrs).all(), "NaN/inf LLRs from robust scores"
+    pay, crc_ok, _ = softmod.decode_payload_soft(rows, len(payload), cfg)
+    assert bool(np.asarray(crc_ok))
+    assert np.asarray(pay).tobytes() == payload
