@@ -463,22 +463,30 @@ def main() -> None:
                 dec1 = np.asarray(modem.decode(s_row))
             assert np.array_equal(dec1, pl1), f"latency SF{sf} decode"
             # readout-only roundtrip (already-computed buffer): the
-            # relay tax to subtract for the hardware-transferable number
-            n_lat = 8
-            t0 = time.perf_counter()
+            # relay tax to subtract for the hardware-transferable number.
+            # MEDIANS per call (the relay roundtrip jitters 24-45 ms
+            # call to call — a mean of two separate loops once reported
+            # readout > total); compute split clamped at 0.
+            n_lat = 12
+            reads, tots = [], []
             for _ in range(n_lat):
+                t0 = time.perf_counter()
                 np.asarray(blk1.symbols[0])
-            t_read = (time.perf_counter() - t0) / n_lat
-            t0 = time.perf_counter()
+                reads.append(time.perf_counter() - t0)
             for _ in range(n_lat):
+                t0 = time.perf_counter()
                 blk1 = rx1(b1r, b1i)
                 s_row = np.asarray(blk1.symbols[0])      # the barrier
                 with jax.default_device(cpu):
                     modem.decode(s_row)
-            t_lat = (time.perf_counter() - t0) / n_lat
-            lat_ms[sf] = (round(t_lat * 1e3, 2), round(t_read * 1e3, 2))
+                tots.append(time.perf_counter() - t0)
+            t_read = float(np.median(reads))
+            t_lat = float(np.median(tots))
+            lat_ms[sf] = (round(t_lat * 1e3, 2), round(t_read * 1e3, 2),
+                          round(max(0.0, t_lat - t_read) * 1e3, 2))
             log(f"latency SF{sf}: {t_lat*1e3:.2f} ms/frame end-to-end "
-                f"(of which d2h readout {t_read*1e3:.2f} ms)")
+                f"(median; d2h readout {t_read*1e3:.2f} ms, compute+"
+                f"dispatch {max(0.0, t_lat-t_read)*1e3:.2f} ms)")
     except AssertionError:
         raise
     except Exception as e:
@@ -533,8 +541,10 @@ def main() -> None:
         "awgn_mpps": round(awgn_mpps, 3) if awgn_mpps else None,
         "latency_sf7_ms": lat_ms.get(7, (None,))[0],
         "latency_sf7_readout_ms": lat_ms.get(7, (None, None))[1],
+        "latency_sf7_compute_ms": lat_ms.get(7, (None, None, None))[2],
         "latency_sf12_ms": lat_ms.get(12, (None,))[0],
         "latency_sf12_readout_ms": lat_ms.get(12, (None, None))[1],
+        "latency_sf12_compute_ms": lat_ms.get(12, (None, None, None))[2],
         "regressed": regressed,
     }))
 
