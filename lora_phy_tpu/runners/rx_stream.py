@@ -44,6 +44,10 @@ Flags: ``--in=FILE|-`` ``--sf=N|auto`` ``--cr`` ``--bw`` ``--osr`` ``--sync``
 ``--soft`` ``--json`` (one JSON object per frame on stdout) ``--robust``
 ``--frontend-correct`` (blind per-block DC/IQ-imbalance correction)
 ``--ldro`` (adaptive mode: low-data-rate payloads) ``--quiet``
+``--mesh=T`` (time-shard the block receiver over T devices: every fed
+block rides ONE sharded program with seam halos —
+parallel/stream.MeshStreamDemodulator; checkpoint format is the mesh
+carry, distinct from the single-device one)
 """
 
 from __future__ import annotations
@@ -89,6 +93,7 @@ def main(argv=None) -> int:
         "robust": (None, False),      # multipath-robust receive (pre_acc=3)
         "frontend-correct": (None, False),
         "ldro": (None, False),        # adaptive mode: low-data-rate payload
+        "mesh": (int, 0),             # time-shard the receive over N devices
     })
     if flags["format"] not in _FORMATS:
         print(f"Unknown --format={flags['format']}", file=sys.stderr)
@@ -112,6 +117,11 @@ def main(argv=None) -> int:
     if flags["robust"] and flags["adaptive"]:
         print("--robust applies to the block receive paths, not "
               "--adaptive (serial header-driven sync)", file=sys.stderr)
+        return 1
+    if flags["mesh"] and (flags["sic"] or flags["adaptive"] or flags["cad"]
+                          or flags["channels"] or flags["sf"] == "auto"):
+        print("--mesh time-shards the plain block receiver: fixed --sf, "
+              "single channel, no --sic/--adaptive/--cad", file=sys.stderr)
         return 1
     import dataclasses
 
@@ -151,7 +161,8 @@ def main(argv=None) -> int:
     n_skipped = 0                                      # CAD-gated buffers
 
     ckpt = pathlib.Path(flags["checkpoint"]) if flags["checkpoint"] else None
-    if ckpt and ckpt.exists() and not flags["adaptive"]:
+    if (ckpt and ckpt.exists() and not flags["adaptive"]
+            and not flags["mesh"]):
         z = np.load(ckpt)
         carry_re, carry_im = z["re"], z["im"]
         base = int(z["base"])
@@ -285,6 +296,86 @@ def main(argv=None) -> int:
               f"sro={row['sro_ppm']:+.1f}ppm "
               f"{sic_tag}payload={payload.hex()}", flush=True)
 
+
+    if flags["mesh"]:
+        # time-sharded streaming: every fed block rides ONE
+        # parallel/stream.receive_stream_block_planar program over a
+        # (1 x T) mesh (seam halos, global starts), with the fixed-length
+        # tail carry + exact-start dedupe of MeshStreamDemodulator; the
+        # CLI's near-window dedupe still guards bin-jitter re-finds.
+        # --checkpoint uses save_mesh_state's format (distinct from the
+        # single-device carry file — not cross-resumable).
+        import jax
+
+        from ..parallel import mesh as meshlib
+        from ..parallel.stream import (MeshStreamDemodulator,
+                                       load_mesh_state, save_mesh_state)
+
+        t_shards = flags["mesh"]
+        devs = jax.devices()
+        if t_shards > len(devs):
+            print(f"--mesh={t_shards} exceeds {len(devs)} devices",
+                  file=sys.stderr)
+            return 1
+        m = meshlib.make_mesh(n_channel=1, n_time=t_shards,
+                              devices=devs[:t_shards])
+        rx = MeshStreamDemodulator(
+            params, n_payload_symbols, m, max_frames=flags["max-frames"],
+            preamble_len=npre, min_power_db=flags["thresh"],
+            pre_acc=3 if flags["robust"] else 1)
+        # minimum fed block: per-shard (keep+B)/T must hold frame+margin
+        min_b = max(rx.unit, rx.halo * t_shards - rx.keep)
+        min_b = -(-min_b // rx.unit) * rx.unit
+        mb = -(-max(block, min_b) // rx.unit) * rx.unit
+        state = rx.init_state(1)
+        if ckpt and ckpt.exists():
+            state = load_mesh_state(ckpt)
+            n_frames = int(state.n_frames)
+        pend_re = np.zeros(0, np.float32)
+        pend_im = np.zeros(0, np.float32)
+        try:
+            eof = False
+            while not eof:
+                raw = src.read(mb * bytes_per_sample)
+                if raw:
+                    n = len(raw) // bytes_per_sample
+                    arr = np.frombuffer(raw[: n * bytes_per_sample], dtype)
+                    re, im = runtime.to_planar(arr, flags["scale"])
+                    if flags["invert-iq"]:
+                        im = -im
+                    pend_re = np.concatenate([pend_re, np.asarray(re)])
+                    pend_im = np.concatenate([pend_im, np.asarray(im)])
+                else:
+                    eof = True
+                    if pend_re.size == 0:
+                        break
+                    # zero-pad the final chunk up to a VALID fed block
+                    # (>= min_b so the per-shard halo check holds; the
+                    # pad region is silence and yields no frames)
+                    tgt = max(min_b,
+                              -(-pend_re.size // rx.unit) * rx.unit)
+                    pad = tgt - pend_re.size
+                    pend_re = np.concatenate(
+                        [pend_re, np.zeros(pad, np.float32)])
+                    pend_im = np.concatenate(
+                        [pend_im, np.zeros(pad, np.float32)])
+                while pend_re.size >= mb or (eof and pend_re.size):
+                    cut = mb if pend_re.size >= mb else pend_re.size
+                    state, frames = rx.process(
+                        state, pend_re[None, :cut], pend_im[None, :cut])
+                    pend_re = pend_re[cut:]
+                    pend_im = pend_im[cut:]
+                    for row in frames:
+                        report(row, params, 0, 0)
+        finally:
+            if src is not sys.stdin.buffer:
+                src.close()
+        if ckpt:
+            save_mesh_state(state._replace(n_frames=n_frames), ckpt)
+        if not flags["quiet"]:
+            print(f"{n_frames} frames ({t_shards} time shards)",
+                  file=sys.stderr)
+        return 0
 
     def process(buf_re, buf_im, buf_base):
         for p in params_by_sf:

@@ -606,3 +606,44 @@ def test_adaptive_gateway_ldro(tmp_path, capfd):
     assert rx_stream.main([f"--in={sfile}", "--sf=7", "--adaptive"]) == 0
     out, _ = capfd.readouterr()
     assert f"payload={pay}" not in out
+
+
+def test_rx_stream_mesh_mode(tmp_path, capfd, frames_fixture):
+    """--mesh=T: the CLI's time-sharded path (MeshStreamDemodulator under
+    the hood) finds and decodes the same frames as the single-device run,
+    including across fed-block boundaries, and checkpoints/resumes."""
+    p, payloads, sig, starts = frames_fixture
+    path = tmp_path / "s.iq"
+    path.write_bytes(_interleave(sig))
+
+    rc = rx_stream.main([f"--in={path}", "--sf=7", "--payload-len=16",
+                         "--mesh=4", "--block=16384", "--quiet"])
+    assert rc == 0
+    out = capfd.readouterr().out.strip().splitlines()
+    assert len(out) == len(payloads)
+    for line, pay, s0 in zip(out, payloads, starts):
+        assert f"@{s0} " in line
+        assert line.endswith(pay.tobytes().hex())
+
+    # mutually exclusive with the single-channel-only modes
+    assert rx_stream.main([f"--in={path}", "--sf=auto", "--mesh=2"]) == 1
+    assert rx_stream.main([f"--in={path}", "--sf=7", "--mesh=2",
+                           "--sic"]) == 1
+    capfd.readouterr()
+
+    # checkpoint/resume: split the stream at an arbitrary byte boundary,
+    # resume from the saved mesh carry — same frames, exactly once
+    ck = tmp_path / "mesh.ckpt"
+    cut = (len(sig) // 3) * 8
+    a, b = tmp_path / "a.iq", tmp_path / "b.iq"
+    raw = _interleave(sig)
+    a.write_bytes(raw[:cut])
+    b.write_bytes(raw[cut:])
+    assert rx_stream.main([f"--in={a}", "--sf=7", "--payload-len=16",
+                           "--mesh=4", f"--checkpoint={ck}",
+                           "--quiet"]) == 0
+    assert rx_stream.main([f"--in={b}", "--sf=7", "--payload-len=16",
+                           "--mesh=4", f"--checkpoint={ck}",
+                           "--quiet"]) == 0
+    out2 = capfd.readouterr().out.strip().splitlines()
+    assert len(out2) == len(payloads)
