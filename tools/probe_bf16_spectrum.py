@@ -1,0 +1,127 @@
+"""Probe: can the combined DFT dot write its spectrum in bf16?
+
+The committed SF7 demod's last two passes are the dot's 4.2 GB f32
+spectrum write + the fused mag²/argmax's 4.2 GB read (README pass
+table). The dot's operands are ALREADY bf16 on this chip (XLA
+auto-demotes); this probe measures writing the dot output in bf16 too —
+halving those two passes — and checks decision equality on the bench
+payloads at clean SNR and under AWGN.
+
+    python tools/probe_bf16_spectrum.py
+"""
+
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _watchdog():
+    def dead():
+        print("TPU startup timed out", file=sys.stderr, flush=True)
+        os._exit(1)
+    t = threading.Timer(540.0, dead)
+    t.daemon = True
+    t.start()
+    return t
+
+
+def main():
+    wd = _watchdog()
+    print(f"platform {jax.default_backend()}", file=sys.stderr, flush=True)
+    np.asarray(jnp.zeros(4) + 1.0)
+    wd.cancel()
+    print("device probe ok", file=sys.stderr, flush=True)
+
+    from lora_phy_tpu.models import modem
+    from lora_phy_tpu.ops import planar
+    from lora_phy_tpu.ops.planar import (_combined_dft_mat,
+                                         _demod_stage_planar,
+                                         _rotated_windows_planar)
+    from lora_phy_tpu.utils.params import LoraParams
+
+    on_cpu = jax.default_backend() == "cpu"
+    params = LoraParams(sf=7)
+    channels, frames = (8, 8192) if not on_cpu else (2, 16)
+    pool = 64 if not on_cpu else 16
+    reps = channels * frames // pool
+    rng = np.random.RandomState(0)
+    payloads = rng.randint(0, 256, (pool, 32)).astype(np.uint8)
+    dev = jax.devices()[0]
+
+    @jax.jit
+    def make(pl):
+        full = jnp.tile(pl, (reps, 1)).reshape(channels, frames, 32)
+        syms = modem.encode(full)
+        r, i = planar.modulate_planar(syms, params)
+        return planar.dechirp_planar(r, i, params)
+
+    xr, xi = make(jax.device_put(payloads, dev))
+    np.asarray(xr[0, 0, :2])
+
+    n = params.n
+
+    def demod_base(r, i):
+        res = planar.demodulate_planar(r, i, params)
+        return res.symbols
+
+    def demod_bf16out(r, i):
+        yr, yi, rate, t_off, scale, cfo, _ = _demod_stage_planar(
+            r, i, params, False, None)
+        fr, fi = _rotated_windows_planar(yr, yi, rate, t_off, scale, params)
+        f = jnp.concatenate([fr, fi], axis=-1)
+        m = jnp.asarray(_combined_dft_mat(n))
+        y = jnp.matmul(f.astype(jnp.bfloat16), m.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.bfloat16)
+        a = y[..., :n].astype(jnp.float32)
+        b = y[..., n:].astype(jnp.float32)
+        return jnp.argmax(a * a + b * b, axis=-1).astype(jnp.uint16)[..., 2:]
+
+    fb = jax.jit(demod_base)
+    ff = jax.jit(demod_bf16out)
+    o1 = fb(xr, xi)
+    np.asarray(o1[0, 0, :2])
+    o2 = ff(xr, xi)
+    np.asarray(o2[0, 0, :2])
+    eq = np.array_equal(np.asarray(o1[0, :pool]), np.asarray(o2[0, :pool]))
+    print(f"clean decisions equal: {eq}", file=sys.stderr, flush=True)
+
+    iters = 24 if not on_cpu else 2
+    for name, f, out in (("f32-spectrum (committed)", fb, o1),
+                         ("bf16-spectrum", ff, o2)):
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = f(xr, xi)
+            np.asarray(out[0, 0, :2])
+            best = min(best, (time.perf_counter() - t0) / iters)
+        sps = channels * frames * 66 * 128 / best
+        print(f"{name:28s} {best*1e3:7.2f} ms ({sps/1e9:.2f} Gsps)",
+              file=sys.stderr, flush=True)
+
+    # noisy-decision agreement: at the sensitivity knee the two spectra
+    # may disagree on borderline argmaxes — quantify the rate
+    @jax.jit
+    def noisy(r, i, k):
+        kr, ki = jax.random.split(k)
+        s = jnp.float32(10 ** (6.0 / -20.0) / np.sqrt(2))
+        return (r + s * jax.random.normal(kr, r.shape, jnp.float32),
+                i + s * jax.random.normal(ki, i.shape, jnp.float32))
+
+    nr, ni = noisy(xr, xi, jax.random.PRNGKey(1))
+    d1 = np.asarray(fb(nr, ni)[0, :64])
+    d2 = np.asarray(ff(nr, ni)[0, :64])
+    mism = int((d1 != d2).sum())
+    print(f"noisy (-6 dB) symbol mismatches: {mism} / {d1.size}",
+          file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    main()
