@@ -81,6 +81,50 @@ def main() -> int:
     np.testing.assert_array_equal(decoded, payloads)
 
     print(f"PARITY OK process {proc_id}/{nproc}", flush=True)
+
+    # --- frame-SYNC scan receiver across the real process boundary: a
+    # frame STRADDLING the inter-process seam is claimed exactly once,
+    # its right halo ppermuted across the process boundary (the DCN
+    # stand-in for the flagship scan path, not just the demod) ---------
+    from lora_phy_tpu.models import stream as streammod
+    from lora_phy_tpu.parallel.stream import receive_stream_block_planar
+
+    n_pay = 8
+    frame_len = (streammod.frame_overhead_samples(p)
+                 + n_pay * p.step)
+    t_mesh = 4 * nproc
+    total = 4096 * t_mesh
+    pl_a = rng.randint(0, 256, n_pay // 2).astype(np.uint8)
+    pl_b = rng.randint(0, 256, n_pay // 2).astype(np.uint8)
+    sr = np.zeros((1, total), np.float32)
+    si = np.zeros((1, total), np.float32)
+    placed = {}
+    for pl, off in ((pl_a, 500),
+                    (pl_b, total // nproc - frame_len // 2)):
+        fr, fi = streammod.frame_modulate_planar(
+            np.asarray(modem.encode(pl), np.int32), p)
+        sr[0, off: off + frame_len] = np.asarray(fr)
+        si[0, off: off + frame_len] = np.asarray(fi)
+        placed[off] = pl
+    t_loc = total // nproc
+    ssl = slice(proc_id * t_loc, (proc_id + 1) * t_loc)
+    gxr = multihost.global_stream_array(m, sr[:, ssl])
+    gxi = multihost.global_stream_array(m, si[:, ssl])
+    blk = receive_stream_block_planar(gxr, gxi, p, n_pay, m, max_frames=2)
+    gf = np.asarray(multihost_utils.process_allgather(blk.found,
+                                                      tiled=True))
+    gs = np.asarray(multihost_utils.process_allgather(blk.start,
+                                                      tiled=True))
+    gsym = np.asarray(multihost_utils.process_allgather(blk.symbols,
+                                                        tiled=True))
+    ks = np.flatnonzero(gf[0])
+    got = {int(gs[0, k]): np.asarray(modem.decode(gsym[0, k])) for k in ks}
+    assert set(got) == set(placed), (sorted(got), sorted(placed))
+    for off, pl in placed.items():
+        np.testing.assert_array_equal(got[off], pl)
+    print(f"SCAN OK process {proc_id}/{nproc} "
+          f"(frame straddles the process seam at {total // nproc})",
+          flush=True)
     jax.distributed.shutdown()
     return 0
 

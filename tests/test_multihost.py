@@ -49,3 +49,4 @@ def test_two_process_distributed_stream_parity():
     for i, (rc, out, err) in enumerate(outs):
         assert rc == 0, f"worker {i} failed:\n{err[-3000:]}"
         assert f"PARITY OK process {i}/{nproc}" in out
+        assert f"SCAN OK process {i}/{nproc}" in out
