@@ -503,7 +503,28 @@ def demodulate_planar(xr, xi, params: LoraParams, fused: bool = False,
         # decision-only detection: combined-matmul DFT + |.|² + argmax
         # (the metric outputs would be DCE'd anyway; this also skips the
         # four-step's spectrum reorder at N > 128)
-        syms = argmax_bins_planar(fr, fi, n, mxu_dtype=mxu_dtype)
+        if n <= 128 and mxu_dtype is None and jax.default_backend() != "cpu":
+            # bf16 SPECTRUM on accelerators: the dot's operands are
+            # already bf16 on this chip (XLA auto-demotes,
+            # probe_demod_hlo r5); writing its OUTPUT in bf16 too halves
+            # the pipeline's last two passes (4.2 GB spectrum write +
+            # read at the bench shape): 66.5 -> 60.4 ms, decisions
+            # bit-equal on the clean bench payloads
+            # (tools/probe_bf16_spectrum.py). Rounding the f32
+            # accumulator to bf16 coarsens near-tie argmaxes only;
+            # exact ties keep the reference's lowest-bin direction.
+            # CPU (the test contract) stays f32; N > 128 keeps the
+            # four-step untouched (its layout is fragile — CLAUDE.md
+            # round-5 notes).
+            f = jnp.concatenate([fr, fi], axis=-1)
+            mmat = jnp.asarray(_combined_dft_mat(n)).astype(jnp.bfloat16)
+            y = jnp.matmul(f.astype(jnp.bfloat16), mmat,
+                           preferred_element_type=jnp.bfloat16)
+            a = y[..., :n].astype(jnp.float32)
+            b = y[..., n:].astype(jnp.float32)
+            syms = jnp.argmax(a * a + b * b, axis=-1).astype(jnp.int32)
+        else:
+            syms = argmax_bins_planar(fr, fi, n, mxu_dtype=mxu_dtype)
 
     syms = syms.astype(jnp.uint16)
     shift = (params.sf - 4) if params.sf > 4 else 0
