@@ -145,3 +145,87 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def sf12():
+    """SF12 variant: bf16 output on the four-step's stage-2 dot +
+    scrambled argmax (decision-only consumers)."""
+    wd = _watchdog()
+    np.asarray(jnp.zeros(4) + 1.0)
+    wd.cancel()
+    from lora_phy_tpu.models import modem
+    from lora_phy_tpu.ops import planar
+    from lora_phy_tpu.ops.planar import (_argmax_natural, _combined_dft_mat,
+                                         _combined_fourstep_mats,
+                                         _demod_stage_planar,
+                                         _rotated_windows_planar)
+    from lora_phy_tpu.utils.params import LoraParams
+
+    on_cpu = jax.default_backend() == "cpu"
+    p12 = LoraParams(sf=12)
+    pool, reps = 4, (256 if not on_cpu else 2)
+    rng = np.random.RandomState(0)
+    payloads = rng.randint(0, 256, (pool, 32)).astype(np.uint8)
+    dev = jax.devices()[0]
+
+    @jax.jit
+    def make(pl):
+        full = jnp.tile(pl, (reps, 1))
+        syms = modem.encode(full)
+        r, i = planar.modulate_planar(syms, p12)
+        return planar.dechirp_planar(r, i, p12)
+
+    xr, xi = make(jax.device_put(payloads, dev))
+    np.asarray(xr[0, :2])
+    n = p12.n
+
+    def demod_base(r, i):
+        return planar.demodulate_planar(r, i, p12).symbols
+
+    def demod_bf16(r, i):
+        yr, yi, rate, t_off, scale, cfo, _ = _demod_stage_planar(
+            r, i, p12, False, None)
+        fr, fi = _rotated_windows_planar(yr, yi, rate, t_off, scale, p12)
+        m1r, n1, n2, twr_t, twi_t = _combined_fourstep_mats(n)
+        lead = fr.shape[:-1]
+        xst = jnp.concatenate(
+            [fr.reshape(*lead, n2, n1).swapaxes(-1, -2),
+             fi.reshape(*lead, n2, n1).swapaxes(-1, -2)], axis=-1)
+        a = jnp.matmul(xst.astype(jnp.bfloat16),
+                       jnp.asarray(_combined_dft_mat(n2),
+                                   ).astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        ar, ai = a[..., :n2], a[..., n2:]
+        twr = jnp.asarray(twr_t.T.copy())
+        twi = jnp.asarray(twi_t.T.copy())
+        bs = jnp.concatenate(
+            [(ar * twr - ai * twi).swapaxes(-1, -2),
+             (ar * twi + ai * twr).swapaxes(-1, -2)], axis=-1)
+        c = jnp.matmul(bs.astype(jnp.bfloat16),
+                       jnp.asarray(m1r).astype(jnp.bfloat16),
+                       preferred_element_type=jnp.bfloat16)
+        cr = c[..., :n1].astype(jnp.float32)
+        ci = c[..., n1:].astype(jnp.float32)
+        m = cr * cr + ci * ci
+        flat = m.reshape(*m.shape[:-2], n2 * n1)
+        bins, _ = _argmax_natural(flat, n1, n2)
+        return bins.astype(jnp.uint16)[..., 2:]
+
+    fb, ff = jax.jit(demod_base), jax.jit(demod_bf16)
+    o1 = fb(xr, xi); np.asarray(o1[0, :2])
+    o2 = ff(xr, xi); np.asarray(o2[0, :2])
+    eq = np.array_equal(np.asarray(o1), np.asarray(o2))
+    print(f"SF12 clean decisions equal: {eq}", file=sys.stderr, flush=True)
+    iters = 12 if not on_cpu else 2
+    for name, f, out in (("SF12 f32 (committed)", fb, o1),
+                         ("SF12 bf16-stage2", ff, o2)):
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = f(xr, xi)
+            np.asarray(out[0, :2])
+            best = min(best, (time.perf_counter() - t0) / iters)
+        sps = xr.size / best
+        print(f"{name:24s} {best*1e3:7.2f} ms ({sps/1e9:.2f} Gsps)",
+              file=sys.stderr, flush=True)
