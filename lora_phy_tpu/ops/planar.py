@@ -457,6 +457,57 @@ def estimate_preamble_robust_planar(pr, pi, n: int, osr: int,
 
 @partial(jax.jit, static_argnames=("params", "fused", "assume_normalized",
                                    "precision"))
+def _decision_bins_bf16(fr, fi, n: int):
+    """Decision-only argmax with the DFT dots' OUTPUT in bf16 — the one
+    pass the round-5 HLO audit showed still cuttable on this chip (the
+    operands are already bf16: XLA auto-demotes f32 dot inputs,
+    probe_demod_hlo r5). Halving the spectrum write + the argmax read
+    measured 66.5 -> 60.4 ms at SF7 and 49.4 -> 46.2 ms at SF12, with
+    decisions BIT-EQUAL on the clean bench payloads and 0/393216 symbol
+    mismatches vs f32 under AWGN at 0/-6/-9 dB
+    (tools/probe_bf16_spectrum.py). Rounding the f32 accumulator to
+    bf16 coarsens near-tie argmaxes only; exact ties keep the
+    reference's lowest-bin direction (first-max). Accelerator-only —
+    the CPU test contract stays f32 (demodulate_planar gates the call);
+    ONLY safe for pure-argmax consumers: threshold-gated consumers
+    (the frame-sync scan) measurably flip decisions on the bf16 grid
+    (tools/probe_bf16_scan.py — disqualified)."""
+    if n <= 128:
+        f = jnp.concatenate([fr, fi], axis=-1)
+        mmat = jnp.asarray(_combined_dft_mat(n)).astype(jnp.bfloat16)
+        y = jnp.matmul(f.astype(jnp.bfloat16), mmat,
+                       preferred_element_type=jnp.bfloat16)
+        a = y[..., :n].astype(jnp.float32)
+        b = y[..., n:].astype(jnp.float32)
+        return jnp.argmax(a * a + b * b, axis=-1).astype(jnp.int32)
+    # four-step: bf16 output on stage 2 only (stage 1 keeps the f32
+    # accumulate feeding the twiddle); scrambled-layout argmax with the
+    # lowest-NATURAL-bin tie-break as in _dft_mag2_scrambled
+    m1r, n1, n2, twr_t, twi_t = _combined_fourstep_mats(n)
+    lead = fr.shape[:-1]
+    xst = jnp.concatenate(
+        [fr.reshape(*lead, n2, n1).swapaxes(-1, -2),
+         fi.reshape(*lead, n2, n1).swapaxes(-1, -2)], axis=-1)
+    a = jnp.matmul(xst.astype(jnp.bfloat16),
+                   jnp.asarray(_combined_dft_mat(n2)).astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    ar, ai = a[..., :n2], a[..., n2:]
+    twr = jnp.asarray(twr_t.T.copy())
+    twi = jnp.asarray(twi_t.T.copy())
+    bs = jnp.concatenate(
+        [(ar * twr - ai * twi).swapaxes(-1, -2),
+         (ar * twi + ai * twr).swapaxes(-1, -2)], axis=-1)
+    c = jnp.matmul(bs.astype(jnp.bfloat16),
+                   jnp.asarray(m1r).astype(jnp.bfloat16),
+                   preferred_element_type=jnp.bfloat16)
+    cr = c[..., :n1].astype(jnp.float32)
+    ci = c[..., n1:].astype(jnp.float32)
+    m = cr * cr + ci * ci
+    flat = m.reshape(*m.shape[:-2], n2 * n1)
+    bins, _ = _argmax_natural(flat, n1, n2)
+    return bins
+
+
 def demodulate_planar(xr, xi, params: LoraParams, fused: bool = False,
                       assume_normalized: bool = False,
                       precision: str = "f32",
@@ -503,26 +554,8 @@ def demodulate_planar(xr, xi, params: LoraParams, fused: bool = False,
         # decision-only detection: combined-matmul DFT + |.|² + argmax
         # (the metric outputs would be DCE'd anyway; this also skips the
         # four-step's spectrum reorder at N > 128)
-        if n <= 128 and mxu_dtype is None and jax.default_backend() != "cpu":
-            # bf16 SPECTRUM on accelerators: the dot's operands are
-            # already bf16 on this chip (XLA auto-demotes,
-            # probe_demod_hlo r5); writing its OUTPUT in bf16 too halves
-            # the pipeline's last two passes (4.2 GB spectrum write +
-            # read at the bench shape): 66.5 -> 60.4 ms, decisions
-            # bit-equal on the clean bench payloads
-            # (tools/probe_bf16_spectrum.py). Rounding the f32
-            # accumulator to bf16 coarsens near-tie argmaxes only;
-            # exact ties keep the reference's lowest-bin direction.
-            # CPU (the test contract) stays f32; N > 128 keeps the
-            # four-step untouched (its layout is fragile — CLAUDE.md
-            # round-5 notes).
-            f = jnp.concatenate([fr, fi], axis=-1)
-            mmat = jnp.asarray(_combined_dft_mat(n)).astype(jnp.bfloat16)
-            y = jnp.matmul(f.astype(jnp.bfloat16), mmat,
-                           preferred_element_type=jnp.bfloat16)
-            a = y[..., :n].astype(jnp.float32)
-            b = y[..., n:].astype(jnp.float32)
-            syms = jnp.argmax(a * a + b * b, axis=-1).astype(jnp.int32)
+        if mxu_dtype is None and jax.default_backend() != "cpu":
+            syms = _decision_bins_bf16(fr, fi, n)
         else:
             syms = argmax_bins_planar(fr, fi, n, mxu_dtype=mxu_dtype)
 
