@@ -455,8 +455,6 @@ def estimate_preamble_robust_planar(pr, pi, n: int, osr: int,
     return cfo
 
 
-@partial(jax.jit, static_argnames=("params", "fused", "assume_normalized",
-                                   "precision"))
 def _decision_bins_bf16(fr, fi, n: int):
     """Decision-only argmax with the DFT dots' OUTPUT in bf16 — the one
     pass the round-5 HLO audit showed still cuttable on this chip (the
@@ -508,6 +506,8 @@ def _decision_bins_bf16(fr, fi, n: int):
     return bins
 
 
+@partial(jax.jit, static_argnames=("params", "fused", "assume_normalized",
+                                   "precision"))
 def demodulate_planar(xr, xi, params: LoraParams, fused: bool = False,
                       assume_normalized: bool = False,
                       precision: str = "f32",
