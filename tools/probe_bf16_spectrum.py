@@ -229,3 +229,110 @@ def sf12():
         sps = xr.size / best
         print(f"{name:24s} {best*1e3:7.2f} ms ({sps/1e9:.2f} Gsps)",
               file=sys.stderr, flush=True)
+
+
+def sf7_bf16cond():
+    """SF7 variant: the guarded-shift cond's branches CAST to bf16 on
+    write (windows output bf16), so the derotation reads half the bytes
+    and the whole decision tail is bf16 — on top of the shipped bf16
+    spectrum. Checks decision equality + timing."""
+    wd = _watchdog()
+    np.asarray(jnp.zeros(4) + 1.0)
+    wd.cancel()
+    from lora_phy_tpu.models import modem
+    from lora_phy_tpu.models.modem import _shifted_rows, _round_half_away
+    from lora_phy_tpu.ops import planar
+    from lora_phy_tpu.ops.planar import (_decision_bins_bf16,
+                                         _estimate_planar)
+    from lora_phy_tpu.utils.params import LoraParams
+
+    on_cpu = jax.default_backend() == "cpu"
+    params = LoraParams(sf=7)
+    channels, frames = (8, 8192) if not on_cpu else (2, 16)
+    pool = 64 if not on_cpu else 16
+    reps = channels * frames // pool
+    rng = np.random.RandomState(0)
+    payloads = rng.randint(0, 256, (pool, 32)).astype(np.uint8)
+    dev = jax.devices()[0]
+
+    @jax.jit
+    def make(pl):
+        full = jnp.tile(pl, (reps, 1)).reshape(channels, frames, 32)
+        syms = modem.encode(full)
+        r, i = planar.modulate_planar(syms, params)
+        return planar.dechirp_planar(r, i, params)
+
+    xr, xi = make(jax.device_put(payloads, dev))
+    np.asarray(xr[0, 0, :2])
+    n, osr, step = params.n, params.osr, params.step
+
+    def shifted_bf16(x, total_symbols, t_off):
+        sample_count = total_symbols * step
+        x = x[..., :sample_count]
+
+        def symview(a):
+            v = a.reshape(*a.shape[:-1], total_symbols, n, osr)
+            return v[..., 0]
+
+        def no_shift(x):
+            return symview(x).astype(jnp.bfloat16)
+
+        def with_shift(x):
+            shifted = _shifted_rows(x, t_off, step)
+            base = jnp.arange(total_symbols, dtype=jnp.int32) * step
+            t = t_off[..., None].astype(jnp.int32)
+            use = ((t > 0) & (base + t + step <= sample_count)) | (
+                (t < 0) & (-t <= base))
+            return jnp.where(use[..., None], symview(shifted),
+                             symview(x)).astype(jnp.bfloat16)
+
+        return jax.lax.cond(jnp.all(t_off == 0), no_shift, with_shift, x)
+
+    def demod_bf16cond(r, i):
+        total_symbols = r.shape[-1] // step
+        r = r[..., : total_symbols * step]
+        i = i[..., : total_symbols * step]
+        max_amp = jnp.maximum(jnp.max(jnp.abs(r), axis=-1),
+                              jnp.max(jnp.abs(i), axis=-1))
+        scale = jnp.where(max_amp > 1.0, 1.0 / max_amp,
+                          1.0).astype(jnp.float32)
+        er = r[..., : 2 * step] * scale[..., None]
+        ei = i[..., : 2 * step] * scale[..., None]
+        cfo, time_offset = _estimate_planar(er, ei, n, osr, None)
+        t_off = _round_half_away(time_offset).astype(jnp.int32)
+        rate = (-jnp.float32(2 * np.pi) * cfo / jnp.float32(n))
+        yr = shifted_bf16(r, total_symbols, t_off)
+        yi = shifted_bf16(i, total_symbols, t_off)
+        phi = rate[..., None] * jnp.arange(n, dtype=jnp.float32)
+        c = (jnp.cos(phi) * scale[..., None])[..., None, :]
+        s = (jnp.sin(phi) * scale[..., None])[..., None, :]
+        # f32 internal math (windows upcast in-register), bf16 only at
+        # the memory boundaries (cond output, dot operand)
+        ur = yr.astype(jnp.float32)
+        ui = yi.astype(jnp.float32)
+        fr = ur * c - ui * s
+        fi = ur * s + ui * c
+        return _decision_bins_bf16(fr, fi, n).astype(jnp.uint16)[..., 2:]
+
+    def demod_base(r, i):
+        return planar.demodulate_planar(r, i, params).symbols
+
+    fb, ff = jax.jit(demod_base), jax.jit(demod_bf16cond)
+    o1 = fb(xr, xi); np.asarray(o1[0, 0, :2])
+    o2 = ff(xr, xi); np.asarray(o2[0, 0, :2])
+    eq = np.array_equal(np.asarray(o1[0, :256]), np.asarray(o2[0, :256]))
+    print(f"SF7 bf16-cond clean decisions equal: {eq}",
+          file=sys.stderr, flush=True)
+    iters = 24 if not on_cpu else 2
+    for name, f, out in (("SF7 committed (bf16 spec)", fb, o1),
+                         ("SF7 bf16-cond windows", ff, o2)):
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = f(xr, xi)
+            np.asarray(out[0, 0, :2])
+            best = min(best, (time.perf_counter() - t0) / iters)
+        sps = channels * frames * 66 * 128 / best
+        print(f"{name:28s} {best*1e3:7.2f} ms ({sps/1e9:.2f} Gsps)",
+              file=sys.stderr, flush=True)
