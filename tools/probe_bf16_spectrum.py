@@ -235,7 +235,14 @@ def sf7_bf16cond():
     """SF7 variant: the guarded-shift cond's branches CAST to bf16 on
     write (windows output bf16), so the derotation reads half the bytes
     and the whole decision tail is bf16 — on top of the shipped bf16
-    spectrum. Checks decision equality + timing."""
+    spectrum. Checks decision equality + timing.
+
+    VERDICT (chip-measured): REGRESSES, 60.4 -> 68.4 ms despite moving
+    fewer bytes — the same compiler behaviour as the stream-rotation
+    dead end: when the cond's copy stops being the f32 frames-minor
+    layout rotation XLA wants, extra copies appear elsewhere. The cond
+    must stay f32; only the post-rotation dot boundary tolerates bf16.
+    Kept as the documented negative result — don't redo."""
     wd = _watchdog()
     np.asarray(jnp.zeros(4) + 1.0)
     wd.cancel()
