@@ -114,6 +114,52 @@ def deinterleave_llrs(llrs, ppm: int, rdd: int):
     return sel.reshape(*lead, nblk * ppm, nbits)
 
 
+@functools.lru_cache(maxsize=16)
+def _hamming84_bin_onehot(n: int, scale: int = 1) -> np.ndarray:
+    """[n, 16] float32 one-hot columns at each valid Hamming(8,4)
+    codeword's demodulated bin (``cw * scale mod n`` — bw_scale aliases
+    bins at BW250/500, docs/SEMANTICS.md). Distinctness is guaranteed by
+    the code's minimum distance (4): two codewords colliding mod 128
+    would have to differ only in bit 7 — checked anyway."""
+    from ..ops import coding as _coding
+    import jax.numpy as _jnp
+
+    cw = np.asarray(_coding.hamming84_encode(
+        _jnp.arange(16, dtype=_jnp.uint8))).astype(np.int64)
+    bins = (cw * scale) % n
+    if len(set(int(b) for b in bins)) != 16:
+        raise ValueError(f"codeword bins collide at n={n}, scale={scale}")
+    oh = np.zeros((n, 16), np.float32)
+    oh[bins, np.arange(16)] = 1.0
+    return oh
+
+
+def hamming84_ml_decode(mag2, scale: int = 1):
+    """Maximum-likelihood soft detection for the SIMPLE Hamming(8,4)
+    chain (reference: LoRaEncoder/LoRaDecoder.cpp): ``[..., 2B, N]``
+    payload-symbol spectra -> ``[..., B]`` bytes.
+
+    The hard path takes an unconstrained argmax over all N bins and then
+    syndrome-corrects (modem.decode); here the argmax is CONSTRAINED to
+    the 16 bins that carry valid codewords — one ``[.., N] @ [N, 16]``
+    MXU matmul (masked pick, no gathers) + argmax — so noise peaks at
+    non-codeword bins are redirected to the best valid codeword instead
+    of relying on single-bit syndrome correction. The classic soft-
+    decision gain for the chain the reference actually ships (no soft
+    path exists upstream); the coded chain's LLR path is
+    :func:`decode_payload_soft`. Feed it ``receive_block_planar(...,
+    with_spectra=True)`` spectra or ``demodulate_spectrum_planar`` mag2.
+    ``scale``: ``int(params.scale)`` for BW250/500 bin aliasing."""
+    mag2 = jnp.asarray(mag2)
+    n = mag2.shape[-1]
+    s = mag2.shape[-2] - (mag2.shape[-2] % 2)
+    scores = jnp.matmul(mag2[..., :s, :],
+                        jnp.asarray(_hamming84_bin_onehot(n, scale)),
+                        preferred_element_type=jnp.float32)
+    nibbles = jnp.argmax(scores, axis=-1).astype(jnp.uint8)
+    return coding.nibbles_to_bytes(nibbles)
+
+
 def decode_payload_soft(mag2, nbytes: int, cfg: CodedConfig):
     """[..., S, N] data-symbol spectra -> (payload, crc_ok, min_score).
 

@@ -531,7 +531,8 @@ class MeshStreamDemodulator:
     def __init__(self, params: LoraParams, n_payload_symbols: int,
                  mesh: Mesh, max_frames: int = 4, preamble_len: int = 8,
                  min_power_db: float | None = -30.0, pre_acc: int = 1,
-                 tx_phase_step: float | None = None):
+                 tx_phase_step: float | None = None,
+                 with_spectra: bool = False):
         self.params = params
         self.n_payload_symbols = n_payload_symbols
         self.mesh = mesh
@@ -540,6 +541,7 @@ class MeshStreamDemodulator:
         self.min_power_db = min_power_db
         self.pre_acc = pre_acc
         self.tx_phase_step = tx_phase_step
+        self.with_spectra = with_spectra   # frames carry a "spectra" row
         self.t_size = mesh.shape[TIME_AXIS]
         self.unit = self.t_size * params.step    # fed-block granularity
         halo = _halo_steps(params, n_payload_symbols,
@@ -583,11 +585,15 @@ class MeshStreamDemodulator:
         buf_r = np.concatenate([state.tail_re, block_re], axis=-1)
         buf_i = np.concatenate([state.tail_im, block_im], axis=-1)
         sh = stream_sharding(self.mesh)
-        blk = receive_stream_block_planar(
+        res = receive_stream_block_planar(
             jax.device_put(buf_r, sh), jax.device_put(buf_i, sh),
             self.params, self.n_payload_symbols, self.mesh,
             self.max_frames, self.preamble_len, self.min_power_db,
-            pre_acc=self.pre_acc, tx_phase_step=self.tx_phase_step)
+            pre_acc=self.pre_acc, tx_phase_step=self.tx_phase_step,
+            with_spectra=self.with_spectra)
+        blk, spec = res if self.with_spectra else (res, None)
+        if spec is not None:
+            spec = np.asarray(spec)
         found = np.asarray(blk.found)
         starts = np.asarray(blk.start)
         frames = []
@@ -604,7 +610,7 @@ class MeshStreamDemodulator:
                     continue            # re-found inside the carried tail
                 seen.add(abs_start)
                 n += 1
-                frames.append({
+                row = {
                     "channel": c, "start": abs_start,
                     "symbols": np.asarray(blk.symbols)[c, k],
                     "sync": int(np.asarray(blk.sync)[c, k]),
@@ -612,7 +618,10 @@ class MeshStreamDemodulator:
                     "cfo": float(np.asarray(blk.cfo)[c, k]),
                     "snr_db": float(np.asarray(blk.snr_db)[c, k]),
                     "sro_ppm": float(np.asarray(blk.sro_ppm)[c, k]),
-                })
+                }
+                if spec is not None:
+                    row["spectra"] = spec[c, k]
+                frames.append(row)
             # carry forward only the starts a tail re-scan could re-find
             live = sorted(s for s in seen if s >= new_consumed)
             live = live[-self.n_recent:]

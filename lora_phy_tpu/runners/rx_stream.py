@@ -31,7 +31,10 @@ a quarter-stride dechirp+DFT probe instead of the full scan.
 ``--adaptive`` is gateway mode: self-describing frames (the explicit
 header carries length/CR/CRC), arbitrary payload sizes in one stream,
 per-frame CRC verification, ``--soft`` for ML soft decoding — pairs
-with ``lora-tx-stream --coded``. ``--robust`` enables the multipath-
+with ``lora-tx-stream --coded``. On the plain/wideband/mesh block
+paths ``--soft`` instead enables Hamming84 ML detection (constrained
+argmax over the 16 valid codeword bins from the receiver's
+``with_spectra`` spectra — ~3x fewer lost frames at the SF7 knee). ``--robust`` enables the multipath-
 robust receive mode (accumulated-spectrum sync + noncoherent path
 combining; decodes near-equal-power two-ray channels the default
 receiver cannot, at ~1 dB AWGN sensitivity cost).
@@ -110,9 +113,11 @@ def main(argv=None) -> int:
         print("--adaptive requires a fixed --sf, a single channel and no "
               "--sic", file=sys.stderr)
         return 1
-    if flags["soft"] and not flags["adaptive"]:
-        print("--soft applies to --adaptive (header-driven coded frames)",
-              file=sys.stderr)
+    if flags["soft"] and not flags["adaptive"] and (
+            flags["sic"] or flags["sf"] == "auto"):
+        print("--soft applies to --adaptive (LLR/ML coded decode) or to "
+              "the plain/wideband/mesh block paths (Hamming84 ML "
+              "detection) — not --sic or --sf=auto", file=sys.stderr)
         return 1
     if flags["robust"] and flags["adaptive"]:
         print("--robust applies to the block receive paths, not "
@@ -252,6 +257,10 @@ def main(argv=None) -> int:
     expected_sync = {p.sf: aliased_sync(p) for p in params_by_sf}
 
     def report(row, p, chan, buf_base):
+        """``--soft`` (non-adaptive): when the row carries its payload
+        spectra, bytes come from the constrained ML detector
+        (models/soft.hamming84_ml_decode — ~3x fewer lost frames at the
+        SF7 knee) instead of argmax+syndrome."""
         nonlocal n_frames
         if not flags["any-sync"] and row["sync"] != expected_sync[p.sf]:
             # the sync word is the network filter (the Pothos demod's
@@ -271,7 +280,13 @@ def main(argv=None) -> int:
             return
         reported.add((p.sf, chan, abs_start))
         n_frames += 1
-        payload = np.asarray(modem.decode(row["symbols"])).tobytes()
+        if flags["soft"] and row.get("spectra") is not None:
+            from ..models import soft as softmod
+
+            payload = np.asarray(softmod.hamming84_ml_decode(
+                row["spectra"], scale=int(round(p.scale)))).tobytes()
+        else:
+            payload = np.asarray(modem.decode(row["symbols"])).tobytes()
         if flags["json"]:
             rec = {"start": abs_start, "sync": row["sync"],
                    "cfo_bins": row["cfo_bins"],
@@ -322,7 +337,8 @@ def main(argv=None) -> int:
         rx = MeshStreamDemodulator(
             params, n_payload_symbols, m, max_frames=flags["max-frames"],
             preamble_len=npre, min_power_db=flags["thresh"],
-            pre_acc=3 if flags["robust"] else 1)
+            pre_acc=3 if flags["robust"] else 1,
+            with_spectra=flags["soft"])
         # minimum fed block: per-shard (keep+B)/T must hold frame+margin
         min_b = max(rx.unit, rx.halo * t_shards - rx.keep)
         min_b = -(-min_b // rx.unit) * rx.unit
@@ -405,16 +421,22 @@ def main(argv=None) -> int:
                         for row in rows:
                             report(row, p, chan, buf_base)
                     continue
-                blk = sync.receive_wideband_planar(
+                res = sync.receive_wideband_planar(
                     br, bi, kch, p, n_payload_symbols,
                     max_frames=flags["max-frames"], preamble_len=npre,
                     taps_per_branch=flags["taps"],
                     min_power_db=flags["thresh"],
                     pre_acc=3 if flags["robust"] else 1,
+                    with_spectra=flags["soft"],
                 )
+                blk, spec = res if flags["soft"] else (res, None)
+                if spec is not None:
+                    spec = np.asarray(spec)
                 for chan in range(kch):
                     sub = sync.BlockFrames(*(f[chan] for f in blk))
                     for row in sync.block_rows(sub):
+                        if spec is not None:
+                            row["spectra"] = spec[chan, row["k"]]
                         report(row, p, chan, buf_base)
             elif flags["sic"]:
                 # collision receive: peel frames in power order (exact-TX
@@ -430,13 +452,19 @@ def main(argv=None) -> int:
                 for row in rows:
                     report(row, p, 0, buf_base)
             else:
-                blk = sync.receive_block_planar(
+                res = sync.receive_block_planar(
                     buf_re, buf_im, p, n_payload_symbols,
                     max_frames=flags["max-frames"], preamble_len=npre,
                     min_power_db=flags["thresh"],
                     pre_acc=3 if flags["robust"] else 1,
+                    with_spectra=flags["soft"],
                 )
+                blk, spec = res if flags["soft"] else (res, None)
+                if spec is not None:
+                    spec = np.asarray(spec)
                 for row in sync.block_rows(blk):
+                    if spec is not None:
+                        row["spectra"] = spec[row["k"]]
                     report(row, p, 0, buf_base)
 
     try:

@@ -647,3 +647,33 @@ def test_rx_stream_mesh_mode(tmp_path, capfd, frames_fixture):
                            "--quiet"]) == 0
     out2 = capfd.readouterr().out.strip().splitlines()
     assert len(out2) == len(payloads)
+
+
+def test_rx_stream_soft_block_mode(tmp_path, capfd, frames_fixture):
+    """--soft on the plain block path: Hamming84 ML detection from the
+    receiver's spectra — exact on clean frames, and composes with
+    --mesh; still rejected with --sic / --sf=auto."""
+    p, payloads, sig, starts = frames_fixture
+    path = tmp_path / "s.iq"
+    path.write_bytes(_interleave(sig))
+
+    rc = rx_stream.main([f"--in={path}", "--sf=7", "--payload-len=16",
+                         "--soft", "--quiet"])
+    assert rc == 0
+    out = capfd.readouterr().out.strip().splitlines()
+    assert len(out) == len(payloads)
+    for line, pay in zip(out, payloads):
+        assert line.endswith(pay.tobytes().hex())
+
+    rc = rx_stream.main([f"--in={path}", "--sf=7", "--payload-len=16",
+                         "--soft", "--mesh=2", "--block=16384", "--quiet"])
+    assert rc == 0
+    out = capfd.readouterr().out.strip().splitlines()
+    assert len(out) == len(payloads)
+    for line, pay in zip(out, payloads):
+        assert line.endswith(pay.tobytes().hex())
+
+    assert rx_stream.main([f"--in={path}", "--sf=auto", "--soft"]) == 1
+    assert rx_stream.main([f"--in={path}", "--sf=7", "--sic",
+                           "--soft"]) == 1
+    capfd.readouterr()

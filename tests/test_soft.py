@@ -204,3 +204,46 @@ def test_soft_decode_composes_with_robust_spectra():
     pay, crc_ok, _ = softmod.decode_payload_soft(rows, len(payload), cfg)
     assert bool(np.asarray(crc_ok))
     assert np.asarray(pay).tobytes() == payload
+
+
+def test_hamming84_ml_decode_clean_and_gain():
+    """ML detection for the simple Hamming84 chain: exact on clean
+    spectra, and statistically FEWER byte errors than the hard
+    argmax+syndrome path at the waterfall knee (identical noise)."""
+    import jax
+    import numpy as np
+
+    from lora_phy_tpu.models import modem
+    from lora_phy_tpu.models import soft as softmod
+    from lora_phy_tpu.ops import planar
+    from lora_phy_tpu.ops.impair import apply_awgn
+    from lora_phy_tpu.utils.params import LoraParams
+
+    p = LoraParams(sf=7)
+    rng = np.random.RandomState(4)
+    payloads = rng.randint(0, 256, (300, 12)).astype(np.uint8)
+    syms = modem.encode(payloads)
+    re, im = planar.modulate_planar(np.asarray(syms, np.int32), p)
+    iq = np.asarray(re) + 1j * np.asarray(im)
+
+    # clean: bit-exact with the hard path
+    dr, di = planar.dechirp_planar(
+        np.ascontiguousarray(iq.real.astype(np.float32)),
+        np.ascontiguousarray(iq.imag.astype(np.float32)), p)
+    mag2, _, _, _ = planar.demodulate_spectrum_planar(dr, di, p)
+    out = np.asarray(softmod.hamming84_ml_decode(np.asarray(mag2)))
+    np.testing.assert_array_equal(out, payloads)
+
+    # at the knee: identical noise, ML <= hard byte errors, and a real
+    # margin (the seeded realisation is deterministic)
+    noisy = np.asarray(apply_awgn(jax.random.PRNGKey(5), iq, -11.0))
+    dr, di = planar.dechirp_planar(
+        np.ascontiguousarray(noisy.real.astype(np.float32)),
+        np.ascontiguousarray(noisy.imag.astype(np.float32)), p)
+    mag2, _, _, _ = planar.demodulate_spectrum_planar(dr, di, p)
+    mag2 = np.asarray(mag2)
+    hard = np.asarray(modem.decode(np.argmax(mag2, -1).astype(np.uint16)))
+    soft_out = np.asarray(softmod.hamming84_ml_decode(mag2))
+    e_hard = int((hard != payloads).sum())
+    e_soft = int((soft_out != payloads).sum())
+    assert e_soft < e_hard, (e_soft, e_hard)
