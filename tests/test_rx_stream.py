@@ -372,7 +372,9 @@ def test_adaptive_gateway_mode(tmp_path, capfd):
     assert all("margin=" in l for l in soft_lines)
 
     assert rx_stream.main(["--adaptive", "--sic"]) == 1
-    assert rx_stream.main(["--soft"]) == 1
+    # bare --soft is now the plain-path Hamming84 ML mode (valid); the
+    # invalid combos are --sic / --sf=auto
+    assert rx_stream.main(["--soft", "--sic"]) == 1
 
 
 def test_adaptive_checkpoint_resume(tmp_path, capfd):
