@@ -11,8 +11,10 @@ of noisy copies), so 500+ trials/point is cheap — on the chip it is the
 same program the bench gates. Every rate column carries a 95% Wilson
 binomial interval (``*_lo``/``*_hi``).
 
-Default CSV: ``sf,snr_db,trials,synced,decoded,synced_lo,synced_hi,
-decoded_lo,decoded_hi`` (simple Hamming84 chain, hard decisions).
+Default CSV: ``sf,snr_db,trials,synced,decoded,ml,<CIs>`` — the simple
+Hamming84 chain decoded BOTH ways per synced frame on identical noise:
+hard argmax+syndrome (``decoded``) and constrained-argmax ML detection
+from the receiver's spectra (``ml``, soft.hamming84_ml_decode).
 ``--soft`` sweeps CODED frames (CR4/8 + CRC) and decodes each synced
 frame BOTH ways — hard syndrome and soft ML correlation from the
 receiver's ``with_spectra`` spectra — so the committed curve shows the
@@ -115,8 +117,11 @@ def main(argv=None) -> int:
         head = ("sf,snr_db,trials,synced,hard,soft,synced_lo,synced_hi,"
                 "hard_lo,hard_hi,soft_lo,soft_hi")
     else:
-        head = ("sf,snr_db,trials,synced,decoded,synced_lo,synced_hi,"
-                "decoded_lo,decoded_hi")
+        # the default (simple-chain) sweep decodes each synced frame BOTH
+        # ways on identical noise: hard argmax+syndrome and Hamming84 ML
+        # detection from the receiver's spectra (soft.hamming84_ml_decode)
+        head = ("sf,snr_db,trials,synced,decoded,ml,synced_lo,synced_hi,"
+                "decoded_lo,decoded_hi,ml_lo,ml_hi")
     # complex64 is UNIMPLEMENTED on the axon backend and per-trial decode
     # calls would each pay the relay d2h tax — frame construction and the
     # host-loop decoding run pinned to the CPU backend (bench.py pattern)
@@ -159,13 +164,12 @@ def main(argv=None) -> int:
                 xr, xi = _noisy_chunk_j(key, base_r, base_i, float(snr), b)
                 res = sync.receive_block_planar(
                     xr, xi, p, n_pay, max_frames=2, min_power_db=-30.0,
-                    pre_acc=pre_acc, with_spectra=soft)
-                blk, spec = res if soft else (res, None)
+                    pre_acc=pre_acc, with_spectra=True)
+                blk, spec = res
                 found = np.asarray(blk.found)
                 starts = np.asarray(blk.start)
                 syms = np.asarray(blk.symbols)
-                if soft:
-                    spec = np.asarray(spec)
+                spec = np.asarray(spec)
                 with jax.default_device(_cpu):
                     for t in range(b):
                         ks = [int(k) for k in np.flatnonzero(found[t])
@@ -191,20 +195,19 @@ def main(argv=None) -> int:
                             dec = np.asarray(modem.decode(syms[t, k]))
                             if np.array_equal(dec, pl):
                                 n_hard += 1
+                            ml = np.asarray(softmod.hamming84_ml_decode(
+                                spec[t, k]))
+                            if np.array_equal(ml, pl):
+                                n_soft += 1
                 done += b
                 ci += 1
             s_lo, s_hi = wilson(synced, trials)
             h_lo, h_hi = wilson(n_hard, trials)
-            if soft:
-                so_lo, so_hi = wilson(n_soft, trials)
-                rows.append(
-                    f"{sf},{snr},{trials},{synced},{n_hard},{n_soft},"
-                    f"{s_lo:.4f},{s_hi:.4f},{h_lo:.4f},{h_hi:.4f},"
-                    f"{so_lo:.4f},{so_hi:.4f}")
-            else:
-                rows.append(
-                    f"{sf},{snr},{trials},{synced},{n_hard},"
-                    f"{s_lo:.4f},{s_hi:.4f},{h_lo:.4f},{h_hi:.4f}")
+            so_lo, so_hi = wilson(n_soft, trials)
+            rows.append(
+                f"{sf},{snr},{trials},{synced},{n_hard},{n_soft},"
+                f"{s_lo:.4f},{s_hi:.4f},{h_lo:.4f},{h_hi:.4f},"
+                f"{so_lo:.4f},{so_hi:.4f}")
             print(rows[-1], file=sys.stderr, flush=True)
     pathlib.Path(out).write_text("\n".join(rows) + "\n")
     return 0
