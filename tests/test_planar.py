@@ -166,3 +166,28 @@ def test_argmax_bins_planar_matches_natural(sf):
     want = np.argmax(mag2, axis=-1)
     got = np.asarray(planar.argmax_bins_planar(xr, xi, n))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("sf", [7, 12])
+def test_decision_bins_bf16_matches_f32(sf):
+    """The accelerator-only bf16 decision path (`_decision_bins_bf16`,
+    gated off on CPU in demodulate_planar) must agree with the f32
+    argmax on clean and noisy windows — exercises its four-step
+    scrambled-argmax math in CI even though the CPU product path never
+    takes it."""
+    from lora_phy_tpu.ops.planar import _decision_bins_bf16, argmax_bins_planar
+
+    n = 1 << sf
+    rng = np.random.RandomState(sf)
+    syms = rng.randint(0, n, (40, 6))
+    i = np.arange(n, dtype=np.float64)
+    ph = 2 * np.pi * syms[..., None] * i / n
+    fr = np.cos(ph).astype(np.float32)
+    fi = np.sin(ph).astype(np.float32)
+    fr += rng.randn(*fr.shape).astype(np.float32) * 0.2
+    fi += rng.randn(*fi.shape).astype(np.float32) * 0.2
+
+    ref = np.asarray(argmax_bins_planar(fr, fi, n))
+    got = np.asarray(_decision_bins_bf16(fr, fi, n))
+    np.testing.assert_array_equal(got, ref)
+    np.testing.assert_array_equal(ref, syms)
