@@ -25,7 +25,10 @@ Regression gate: if logs/bench_baseline.json exists, throughput below
 
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...,
-   "tx_gsps": ..., "sync_scan_gsps": ..., "sf12_gsps": ..., "regressed": ...}
+   "tx_gsps": ..., "sync_scan_gsps": ..., "sf12_gsps": ...,
+   "block_rx_gsps": ..., "channelizer_gsps": ..., "wideband_rx_gsps": ...,
+   "awgn_mpps": ..., "latency_sf{7,12}_ms" (+ _readout_ms / _compute_ms
+   medians), "regressed": ...}
 """
 
 from __future__ import annotations
