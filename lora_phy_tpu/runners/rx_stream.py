@@ -113,11 +113,11 @@ def main(argv=None) -> int:
         print("--adaptive requires a fixed --sf, a single channel and no "
               "--sic", file=sys.stderr)
         return 1
-    if flags["soft"] and not flags["adaptive"] and (
-            flags["sic"] or flags["sf"] == "auto"):
+    if flags["soft"] and not flags["adaptive"] and flags["sic"]:
         print("--soft applies to --adaptive (LLR/ML coded decode) or to "
-              "the plain/wideband/mesh block paths (Hamming84 ML "
-              "detection) — not --sic or --sf=auto", file=sys.stderr)
+              "the plain/wideband/blind/mesh block paths (Hamming84 ML "
+              "detection) — not --sic (the peel needs its own decisions)",
+              file=sys.stderr)
         return 1
     if flags["robust"] and flags["adaptive"]:
         print("--robust applies to the block receive paths, not "

@@ -675,7 +675,15 @@ def test_rx_stream_soft_block_mode(tmp_path, capfd, frames_fixture):
     for line, pay in zip(out, payloads):
         assert line.endswith(pay.tobytes().hex())
 
-    assert rx_stream.main([f"--in={path}", "--sf=auto", "--soft"]) == 1
     assert rx_stream.main([f"--in={path}", "--sf=7", "--sic",
                            "--soft"]) == 1
     capfd.readouterr()
+
+    # blind-SF + soft: the per-SF loop rides the same spectra branch
+    rc = rx_stream.main([f"--in={path}", "--sf=auto", "--payload-len=16",
+                         "--soft", "--quiet"])
+    assert rc == 0
+    out = capfd.readouterr().out.strip().splitlines()
+    assert len(out) == len(payloads)
+    for line, pay in zip(out, payloads):
+        assert "sf=7" in line and line.endswith(pay.tobytes().hex())
