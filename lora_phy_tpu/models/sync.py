@@ -260,7 +260,14 @@ def frame_sync_scan_planar(xr, xi, params: LoraParams,
     bin_up = jnp.where(pick2 | pick3, bu_alt, bin_up)
     bin_dn = jnp.where(pick1 | pick3, bd_alt, bin_dn)
 
-    tau = _round_half_even((bin_dn - bin_up) / 2.0) * osr
+    # two-sided split: at chirp slope ``scale`` (BW250/500) a timing
+    # offset of t samples shifts the dechirped tone by t*scale/osr bins,
+    # so the tau arm divides by scale (the cfo arm is a physical
+    # frequency offset — scale-free). Without the division the reported
+    # start is off by (scale-1)*tau samples at BW250/500 (measured:
+    # frame at 300 "found" at 344 at BW250); exact no-op at BW125.
+    tau = _round_half_even(
+        (bin_dn - bin_up) / (2.0 * params.scale)) * osr
     cfo_bins = _round_half_even((bin_dn + bin_up) / 2.0)
     # accumulated bins hold their value ~pre_acc-1 windows past the true
     # run end (the sliding sum still carries preamble energy there)
@@ -546,10 +553,17 @@ def _receive_block_circular(xr, xi, params: LoraParams,
     mag2 = dft_mag2_planar(fr, fi, n)                  # [..., K, 2+S, n]
 
     # index correction: spectra are rotated by the circular residual and
-    # by the (skipped) integer-CFO derotation — raw = s + c - q_section
+    # by the (skipped) integer-CFO derotation — raw = s + c - q_section.
+    # At chirp slope ``scale`` > 1 (BW250/500) the payload grid's
+    # quarter-window offset dq rotates every payload tone by an EXTRA
+    # dq*(scale-1) bins that the slope-1 index arithmetic misses
+    # (measured: constant bin offset -32*(scale-1) mod n, q-independent;
+    # the barrel path extracts true samples and has no such term) —
+    # fold it into the payload correction. Exact no-op at BW125.
     raw = jnp.argmax(mag2, axis=-1).astype(jnp.int32)
+    dq_rot = int(round((dq // osr) * (params.scale - 1.0)))
     corr_s = jnp.mod(q - cfo_bins, n)[..., None]
-    corr_p = jnp.mod(q_p - cfo_bins, n)[..., None]
+    corr_p = jnp.mod(q_p - cfo_bins + dq_rot, n)[..., None]
     s_idx = jnp.arange(2 + n_payload_symbols, dtype=jnp.int32)
     bins = jnp.mod(raw + jnp.where(s_idx < 2, corr_s, corr_p), n)
     shift = (params.sf - 4) if params.sf > 4 else 0
@@ -784,7 +798,9 @@ def receive_block_planar(xr, xi, params: LoraParams,
         d_up = 0.5 * (_disp(3 * step, down=False)
                       + _disp(5 * step, down=False))
         d_dn = _disp((preamble_len + 2) * step, down=True)
-        e = jnp.clip(jnp.round((d_dn - d_up) * (osr / 2.0)),
+        # bins-per-sample is scale/osr at chirp slope ``scale`` (same
+        # scaling as the scan's tau arm above); no-op at BW125
+        e = jnp.clip(jnp.round((d_dn - d_up) * (osr / (2.0 * params.scale))),
                      -osr, osr).astype(jnp.int32)
         start = start + e
         found = found & (start >= 0)

@@ -247,3 +247,45 @@ def test_hamming84_ml_decode_clean_and_gain():
     e_hard = int((hard != payloads).sum())
     e_soft = int((soft_out != payloads).sum())
     assert e_soft < e_hard, (e_soft, e_hard)
+
+
+def test_hamming84_ml_decode_bw_alias():
+    """BW250/500 aliases demodulated bins by ``scale`` (docs/SEMANTICS
+    "BW250/500 bin aliasing"); the ML detector's codeword->bin map must
+    follow (scale=2/4 keeps the 16 bins distinct because Hamming(8,4)'s
+    minimum distance is 4 > the 2-3 bits the modular fold can erase)."""
+    import dataclasses
+
+    import numpy as np
+
+    from lora_phy_tpu.models import modem, stream, sync
+    from lora_phy_tpu.models import soft as softmod
+    from lora_phy_tpu.utils.params import LoraParams, Bandwidth
+
+    for bw in (Bandwidth.BW_250, Bandwidth.BW_500):
+        p = dataclasses.replace(LoraParams(sf=7), bw=bw)
+        scale = int(round(p.scale))
+        rng = np.random.RandomState(scale)
+        pl = rng.randint(0, 256, 6).astype(np.uint8)
+        # arrivals inside the slope-s timing envelope (q*s < N/2 —
+        # docs/SEMANTICS "Frame sync at BW250/500"); q*s >= N/2 is a
+        # fundamental magnitude-domain ambiguity, not a decoder defect
+        for off in (256, 261, 268):
+            fr, fi = stream.frame_modulate_planar(
+                np.asarray(modem.encode(pl), np.int32), p)
+            total = 6144
+            xr = np.zeros(total, np.float32)
+            xi = np.zeros(total, np.float32)
+            xr[off: off + fr.shape[-1]] = np.asarray(fr)
+            xi[off: off + fi.shape[-1]] = np.asarray(fi)
+            blk, spec = sync.receive_block_planar(
+                xr, xi, p, pl.size * 2, max_frames=2, with_spectra=True)
+            k = int(np.flatnonzero(np.asarray(blk.found))[0])
+            assert int(np.asarray(blk.start)[k]) == off
+            # bins now follow the aligned-demod convention (v*scale)%N
+            np.testing.assert_array_equal(
+                np.asarray(blk.symbols)[k].astype(int),
+                (np.asarray(modem.encode(pl)).astype(int) * scale) % p.n)
+            out = np.asarray(softmod.hamming84_ml_decode(
+                np.asarray(spec)[k], scale=scale))
+            np.testing.assert_array_equal(out, pl)
